@@ -1,0 +1,166 @@
+"""ORB front-end device kernels: pyramid, FAST-9/16 score map, blur, moments.
+
+TPU-native re-design of the reference extractor (src/ORBextractor.cc):
+instead of per-cell scalar FAST with retry thresholds and sequential octree
+list surgery, we compute a dense corner *score map* once per pyramid level
+(vectorized over the whole image on the VPU), 3x3 NMS, then per-cell top-k
+with a rank-major global top-N selection which preserves the property that
+matters about DistributeOctTree (spatial uniformity: every cell's best corner
+is taken before any cell's second-best).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3 used by FAST-9/16, in (dy, dx), clockwise
+# starting straight up (same circle the reference's OpenCV FAST uses).
+FAST_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+HALF_PATCH = 15  # IC-angle circular patch radius (reference ORBextractor.cc:72)
+EDGE = 19  # keypoint border margin (reference EDGE_THRESHOLD, ORBextractor.cc:74)
+DESC_R = 19  # descriptor sample max radius after rotation (ceil(13*sqrt(2)))
+
+
+def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score for every pixel.
+
+    img: (..., H, W) float32 in [0, 255].
+    Returns (..., H, W) float32 score: the largest t such that the pixel is a
+    FAST corner at threshold t (0 if not a corner at t=0+). This is the same
+    "max-threshold" score OpenCV computes, so thresholding the map at
+    iniThFAST/minThFAST reproduces the reference's two-threshold scheme.
+    """
+    H, W = img.shape[-2], img.shape[-1]
+    # 16 circle-shifted copies via padding + slicing (cheap VPU ops).
+    pad = 3
+    padded = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)], mode="edge")
+    shifted = []
+    for dy, dx in FAST_CIRCLE:
+        shifted.append(
+            jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(padded, pad + dy, H, axis=-2), pad + dx, W, axis=-1
+            )
+        )
+    circ = jnp.stack(shifted, axis=0)  # (16, ..., H, W)
+    d = circ - img[None]  # (16, ..., H, W)
+
+    # For each arc start k, the bright arc strength is min_{i=k..k+8} d_i and
+    # the dark arc strength is min (-d_i). Corner score = max over the 32 arcs.
+    d2 = jnp.concatenate([d, d[:8]], axis=0)  # wraparound (24, ...)
+    bright = d2
+    dark = -d2
+
+    def arc_min(x):
+        # min over window of 9 along axis 0 for the 16 start positions
+        m = x[0:16]
+        for i in range(1, 9):
+            m = jnp.minimum(m, x[i : i + 16])
+        return m  # (16, ..., H, W)
+
+    score = jnp.maximum(jnp.max(arc_min(bright), axis=0), jnp.max(arc_min(dark), axis=0))
+    return jnp.maximum(score, 0.0)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression with plateau tie-breaking.
+
+    A pixel survives if it is strictly greater than its raster-preceding
+    neighbors and >= its following neighbors — exactly one survivor per
+    constant plateau (uniform blobs produce score plateaus where a strict
+    local-max test would suppress everything).
+    """
+    H, W = score.shape[-2], score.shape[-1]
+    padded = jnp.pad(score, [(0, 0)] * (score.ndim - 2) + [(1, 1), (1, 1)], mode="constant")
+
+    def shift(dy, dx):
+        return jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(padded, 1 + dy, H, axis=-2), 1 + dx, W, axis=-1
+        )
+
+    before = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]
+    after = [(0, 1), (1, -1), (1, 0), (1, 1)]
+    max_before = functools.reduce(jnp.maximum, [shift(dy, dx) for dy, dx in before])
+    max_after = functools.reduce(jnp.maximum, [shift(dy, dx) for dy, dx in after])
+    keep = (score > max_before) & (score >= max_after)
+    return jnp.where(keep, score, 0.0)
+
+
+def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable 7x7 Gaussian blur (reference blurs with GaussianBlur(7,7,2,2)
+    before computing descriptors, ORBextractor.cc:1034)."""
+    r = 3
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    k /= k.sum()
+    k = jnp.asarray(k, img.dtype)
+    batch_shape = img.shape[:-2]
+    H, W = img.shape[-2], img.shape[-1]
+    x4 = img.reshape((-1, 1, H, W))
+    kv = k.reshape(1, 1, 2 * r + 1, 1)
+    kh = k.reshape(1, 1, 1, 2 * r + 1)
+    pad_cfg_v = [(r, r), (0, 0)]
+    pad_cfg_h = [(0, 0), (r, r)]
+    x4 = jnp.pad(x4, [(0, 0), (0, 0)] + pad_cfg_v, mode="reflect")
+    x4 = jax.lax.conv_general_dilated(x4, kv, (1, 1), "VALID")
+    x4 = jnp.pad(x4, [(0, 0), (0, 0)] + pad_cfg_h, mode="reflect")
+    x4 = jax.lax.conv_general_dilated(x4, kh, (1, 1), "VALID")
+    return x4.reshape(batch_shape + (H, W))
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize to (out_h, out_w) (pyramid construction,
+    reference ORBextractor.cc:1107-1132)."""
+    out_shape = img.shape[:-2] + (out_h, out_w)
+    return jax.image.resize(img, out_shape, method="linear")
+
+
+def ic_angle_mask() -> tuple[np.ndarray, np.ndarray]:
+    """(31,31) x/y moment masks over the circular IC-angle patch.
+
+    Replicates the reference's u_max table construction (ORBextractor.cc:
+    448-467): rounded circle with an exactness fix-up that makes the patch
+    symmetric, so our orientation matches the reference bit-for-bit in the
+    included-pixel set.
+    """
+    hp = HALF_PATCH
+    umax = np.zeros(hp + 2, dtype=np.int32)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+
+    ys, xs = np.mgrid[-hp : hp + 1, -hp : hp + 1]
+    inc = np.abs(xs) <= umax[np.abs(ys)]
+    mask_x = (xs * inc).astype(np.float32)
+    mask_y = (ys * inc).astype(np.float32)
+    return mask_x, mask_y
+
+
+def gather_patches(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather (2r+1)x(2r+1) patches around integer centers.
+
+    img: (H, W); ys/xs: (N,) int32 with radius <= y < H - radius guaranteed by
+    the EDGE margin. Returns (N, 2r+1, 2r+1).
+    """
+    dy = jnp.arange(-radius, radius + 1)
+    dx = jnp.arange(-radius, radius + 1)
+    yy = ys[:, None, None] + dy[None, :, None]
+    xx = xs[:, None, None] + dx[None, None, :]
+    return img[yy, xx]

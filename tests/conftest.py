@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-device sharding paths are
+exercised without TPU hardware (the driver separately dry-runs the multi-chip
+path). Must set env BEFORE jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    # Function-scoped: every test sees the same deterministic stream.
+    return np.random.default_rng(0)
