@@ -54,10 +54,11 @@ def so3_exp(w):
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
-    # (1 - cos t)/t^2, safe
+    # (1 - cos t)/t^2 = 2 sin^2(t/2)/t^2 — half-angle form is cancellation-free
     small = theta2 < _EPS**2
     safe_t2 = jnp.where(small, 1.0, theta2)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)[..., None, None]
+    sh = jnp.sin(theta * 0.5)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * sh * sh / safe_t2)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -71,13 +72,17 @@ def so3_log(R):
     sin_theta = jnp.sin(theta)
     w_generic = vee(R - jnp.swapaxes(R, -1, -2))
     small = theta < 1e-5
-    near_pi = jnp.pi - theta < 1e-4
+    # arccos loses ~sqrt(eps) precision near +-1; use a wide near-pi band and
+    # recover theta there from |vee(R - R^T)| = 2 sin(theta) via arcsin.
+    near_pi = jnp.pi - theta < 1e-3
     factor = jnp.where(
         small,
         0.5 + theta**2 / 12.0,
         theta / jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, 2.0 * sin_theta),
     )
     w = factor[..., None] * w_generic
+    sin_np = jnp.clip(0.5 * jnp.linalg.norm(w_generic, axis=-1), 0.0, 1.0)
+    theta = jnp.where(near_pi, jnp.pi - jnp.arcsin(sin_np), theta)
     # Near pi: (R + I)/2 ~ a a^T; take its largest column as the axis, with
     # the sign aligned to vee(R - R^T) = 2 sin(theta) a (zero only at exactly pi,
     # where either sign is a valid log).
@@ -97,11 +102,18 @@ def so3_left_jacobian(w):
     theta = jnp.sqrt(theta2)
     W = hat(w)
     W2 = W @ W
-    small = theta < _EPS
+    # (1-cos)/t^2 via half-angle; (t-sin t)/t^3 via Taylor below t=0.1 (the
+    # closed form loses ~half the f32 mantissa to cancellation there).
+    small = theta < 0.1
     safe_t = jnp.where(small, 1.0, theta)
     safe_t2 = jnp.where(small, 1.0, theta2)
-    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
-    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (safe_t - jnp.sin(theta)) / (safe_t2 * safe_t))
+    sh = jnp.sin(theta * 0.5)
+    a = jnp.where(theta < _EPS, 0.5 - theta2 / 24.0, 2.0 * sh * sh / jnp.where(theta < _EPS, 1.0, theta2))
+    b = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (safe_t - jnp.sin(theta)) / (safe_t2 * safe_t),
+    )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -187,50 +199,74 @@ def rot_to_quat(R):
 def _sim3_W(w, sigma):
     """The sim3 'V' matrix W s.t. t = W @ upsilon in sim3_exp.
 
-    Closed form (Sophus-style): W = A*Omega + B*Omega^2 + C*I with
-      C = (s-1)/sigma,  A, B per the theta/sigma cases, s = e^sigma.
-    All cases blended with where-guards for jit safety.
+    W = integral_0^1 e^{sigma u} R(u*theta) du
+      = C*I + A*Omega + B*Omega^2,   Omega = hat(w),
+    with moment integrals E_k = integral_0^1 u^k e^{sigma u} du:
+      C = E0,  A = I1/theta,  B = I2/theta^2,
+      I1 = int e^{su} sin(u theta),  I2 = int e^{su} (1 - cos(u theta)).
+
+    f32-stability is the whole game here (the naive Sophus closed form loses
+    the mantissa to cancellation for theta in [1e-5, 1e-1] and silently
+    produces garbage W — which then explodes sim3_log residuals). Three
+    regimes, all branches nan-safe so the unselected ones don't poison jit:
+      1. theta < 0.1 and |sigma| < 0.1: double Taylor via E_k series,
+      2. theta < 0.1, |sigma| >= 0.1: E_k by the stable recurrence
+         E_k = (e^s - k E_{k-1})/s,
+      3. theta >= 0.1: closed form with half-angle / expm1 building blocks.
     """
     dtype = w.dtype
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2)
     s = jnp.exp(sigma)
-    W = hat(w)
-    W2 = W @ W
+    expm1s = jnp.expm1(sigma)
+    Omega = hat(w)
+    Omega2 = Omega @ Omega
 
-    small_sigma = jnp.abs(sigma) < 1e-5
-    small_theta = theta < 1e-5
-    safe_sigma = jnp.where(small_sigma, 1.0, sigma)
-    safe_theta = jnp.where(small_theta, 1.0, theta)
-    safe_theta2 = jnp.where(small_theta, 1.0, theta2)
+    small_t = theta < 0.1
+    small_s = jnp.abs(sigma) < 0.1
 
-    # C
-    C = jnp.where(small_sigma, 1.0 + sigma / 2.0 + sigma**2 / 6.0, (s - 1.0) / safe_sigma)
+    # regime 1: E_k as series in sigma (|sigma| < 0.1 -> next term < 1e-8)
+    def ek_series(k):
+        return (
+            1.0 / (k + 1)
+            + sigma * (1.0 / (k + 2))
+            + sigma**2 * (0.5 / (k + 3))
+            + sigma**3 * (1.0 / (6.0 * (k + 4)))
+            + sigma**4 * (1.0 / (24.0 * (k + 5)))
+        )
 
-    # Case sigma ~ 0:
-    A_s0 = jnp.where(small_theta, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
-    B_s0 = jnp.where(
-        small_theta, 1.0 / 6.0 - theta2 / 120.0, (safe_theta - jnp.sin(theta)) / (safe_theta2 * safe_theta)
-    )
+    A1 = ek_series(1) - (theta2 / 6.0) * ek_series(3)
+    B1 = 0.5 * ek_series(2) - (theta2 / 24.0) * ek_series(4)
+    C1 = ek_series(0)
 
-    # Case sigma != 0, theta ~ 0:
-    sig2 = safe_sigma * safe_sigma
-    A_t0 = ((sigma - 1.0) * s + 1.0) / sig2
-    B_t0 = (s * 0.5 * sig2 + s - 1.0 - sigma * s) / (sig2 * safe_sigma)
+    # regime 2: E_k recurrence (stable for |sigma| >= 0.1)
+    safe_sig = jnp.where(small_s, 1.0, sigma)
+    E0 = expm1s / safe_sig
+    E1 = (s - E0) / safe_sig
+    E2 = (s - 2.0 * E1) / safe_sig
+    E3 = (s - 3.0 * E2) / safe_sig
+    E4 = (s - 4.0 * E3) / safe_sig
+    A2 = E1 - (theta2 / 6.0) * E3
+    B2 = 0.5 * E2 - (theta2 / 24.0) * E4
 
-    # General case:
-    a = s * jnp.sin(theta)
-    b = s * jnp.cos(theta)
+    C = jnp.where(small_s, C1, E0)
+
+    # regime 3: closed form, theta >= 0.1
+    safe_t = jnp.where(small_t, 1.0, theta)
+    safe_t2 = jnp.where(small_t, 1.0, theta2)
     c = theta2 + sigma * sigma
-    safe_c = jnp.where(c < _EPS, 1.0, c)
-    A_g = (a * sigma + (1.0 - b) * safe_theta) / (safe_theta * safe_c)
-    B_g = (C - ((b - 1.0) * sigma + a * safe_theta) / safe_c) / safe_theta2
+    safe_c = jnp.where(small_t, 1.0, c)  # theta >= 0.1 -> c >= 0.01
+    a_ = s * jnp.sin(theta)
+    sh = jnp.sin(theta * 0.5)
+    one_minus_b = 2.0 * s * sh * sh - expm1s  # = 1 - s cos(theta), stable
+    A3 = (a_ * sigma + one_minus_b * safe_t) / (safe_t * safe_c)
+    B3 = (C - (a_ * safe_t - sigma * one_minus_b) / safe_c) / safe_t2
 
-    A = jnp.where(small_sigma, A_s0, jnp.where(small_theta, A_t0, A_g))
-    B = jnp.where(small_sigma, B_s0, jnp.where(small_theta, B_t0, B_g))
+    A = jnp.where(small_t, jnp.where(small_s, A1, A2), A3)
+    B = jnp.where(small_t, jnp.where(small_s, B1, B2), B3)
 
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), W.shape)
-    return A[..., None, None] * W + B[..., None, None] * W2 + C[..., None, None] * eye
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Omega.shape)
+    return A[..., None, None] * Omega + B[..., None, None] * Omega2 + C[..., None, None] * eye
 
 
 def sim3_exp(xi):
