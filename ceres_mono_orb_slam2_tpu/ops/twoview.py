@@ -1,0 +1,387 @@
+"""Two-view monocular initialization: batched RANSAC H/F + reconstruction.
+
+TPU-native re-design of the reference Initializer (src/Initializer.cc): the
+reference runs 200 RANSAC iterations over 8-point sets, scoring homography
+and fundamental models in two CPU threads (:110-117). Here all hypotheses of
+BOTH models evaluate as one vmapped batch: model fits are eigendecompositions
+of normal matrices, scoring is a dense (NH, N) transfer-error computation,
+and the H/F model selection RH = SH/(SH+SF) > 0.40 (:120-130) happens on
+device. Reconstruction (E decomposition / Faugeras 8-motion H decomposition
++ cheirality voting, :446-696) is also fully batched: every candidate motion
+triangulates every match in parallel.
+
+Reference constants kept: chi2 gates 5.991 (H, and F scoring) / 3.841 (F
+inlier), CheckRT reprojection gate 4*sigma^2, parallax gates, sigma = 1 px.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+CHI2_H = 5.991
+CHI2_F = 3.841
+SCORE_TH = 5.991
+MIN_PARALLAX_DEG = 1.0
+MIN_TRIANGULATED = 50
+
+
+def _normalize_points(xy, valid):
+    """Reference Normalize (Initializer.cc:700-755): zero-mean, unit mean
+    absolute deviation per axis. Returns normalized points + 3x3 transform T
+    with xn = T @ x."""
+    n = jnp.maximum(jnp.sum(valid), 1).astype(xy.dtype)
+    mean = jnp.sum(jnp.where(valid[:, None], xy, 0.0), axis=0) / n
+    d = jnp.where(valid[:, None], jnp.abs(xy - mean), 0.0)
+    md = jnp.sum(d, axis=0) / n
+    s = 1.0 / jnp.maximum(md, 1e-9)
+    xn = (xy - mean) * s
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], xy.dtype
+    )
+    T = T.at[0, 0].set(s[0]).at[1, 1].set(s[1]).at[0, 2].set(-mean[0] * s[0]).at[1, 2].set(-mean[1] * s[1])
+    return xn, T
+
+
+def _smallest_eigvec(A):
+    """Eigenvector of smallest eigenvalue of symmetric A (batched)."""
+    wvals, vecs = jnp.linalg.eigh(A)
+    return vecs[..., :, 0]
+
+
+def _fit_homography(x1, x2):
+    """DLT from 8 correspondences: x1, x2 (..., 8, 2) -> H (..., 3, 3)
+    with x2 ~ H x1 (reference ComputeH21, Initializer.cc:228-261)."""
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
+    r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # (..., 16, 9)
+    h = _smallest_eigvec(jnp.swapaxes(A, -1, -2) @ A)
+    return h.reshape(h.shape[:-1] + (3, 3))
+
+
+def _fit_fundamental(x1, x2):
+    """8-point + rank-2 projection (reference ComputeF21, :263-304)."""
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    o = jnp.ones_like(u1)
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o], axis=-1)
+    f = _smallest_eigvec(jnp.swapaxes(A, -1, -2) @ A)
+    F = f.reshape(f.shape[:-1] + (3, 3))
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    return U @ (S[..., None] * Vt)
+
+
+def _apply_h(H, xy):
+    """(..., 3, 3) x (N, 2) -> (..., N, 2) projective transform."""
+    x = xy[..., 0]
+    y = xy[..., 1]
+    w = H[..., 2, 0, None] * x + H[..., 2, 1, None] * y + H[..., 2, 2, None]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    u = (H[..., 0, 0, None] * x + H[..., 0, 1, None] * y + H[..., 0, 2, None]) / w
+    v = (H[..., 1, 0, None] * x + H[..., 1, 1, None] * y + H[..., 1, 2, None]) / w
+    return jnp.stack([u, v], axis=-1)
+
+
+def _score_homography(H21, xy1, xy2, valid, sigma2: float = 1.0):
+    """Reference CheckHomography: symmetric transfer chi2 both directions;
+    score = sum of (5.991 - chi2) over passing directions; inlier iff both
+    pass. Returns (score, inliers (..., N))."""
+    H12 = jnp.linalg.inv(H21)
+    p2 = _apply_h(H21, xy1)
+    p1 = _apply_h(H12, xy2)
+    chi21 = jnp.sum((xy2 - p2) ** 2, axis=-1) / sigma2
+    chi12 = jnp.sum((xy1 - p1) ** 2, axis=-1) / sigma2
+    ok1 = chi21 <= CHI2_H
+    ok2 = chi12 <= CHI2_H
+    sc = jnp.where(ok1, CHI2_H - chi21, 0.0) + jnp.where(ok2, CHI2_H - chi12, 0.0)
+    score = jnp.sum(jnp.where(valid, sc, 0.0), axis=-1)
+    return score, valid & ok1 & ok2
+
+
+def _epipolar_chi2(F21, xy1, xy2, sigma2: float):
+    """Squared point-to-epipolar-line distances, both directions."""
+    x = xy1[..., 0]
+    y = xy1[..., 1]
+    a2 = F21[..., 0, 0, None] * x + F21[..., 0, 1, None] * y + F21[..., 0, 2, None]
+    b2 = F21[..., 1, 0, None] * x + F21[..., 1, 1, None] * y + F21[..., 1, 2, None]
+    c2 = F21[..., 2, 0, None] * x + F21[..., 2, 1, None] * y + F21[..., 2, 2, None]
+    num2 = a2 * xy2[..., 0] + b2 * xy2[..., 1] + c2
+    chi21 = num2 * num2 / jnp.maximum(a2 * a2 + b2 * b2, 1e-12) / sigma2
+    u = xy2[..., 0]
+    v = xy2[..., 1]
+    a1 = F21[..., 0, 0, None] * u + F21[..., 1, 0, None] * v + F21[..., 2, 0, None]
+    b1 = F21[..., 0, 1, None] * u + F21[..., 1, 1, None] * v + F21[..., 2, 1, None]
+    c1 = F21[..., 0, 2, None] * u + F21[..., 1, 2, None] * v + F21[..., 2, 2, None]
+    num1 = a1 * xy1[..., 0] + b1 * xy1[..., 1] + c1
+    chi12 = num1 * num1 / jnp.maximum(a1 * a1 + b1 * b1, 1e-12) / sigma2
+    return chi21, chi12
+
+
+def _score_fundamental(F21, xy1, xy2, valid, sigma2: float = 1.0):
+    """Reference CheckFundamental: inlier gate 3.841, score credit
+    (5.991 - chi2) per passing direction."""
+    chi21, chi12 = _epipolar_chi2(F21, xy1, xy2, sigma2)
+    ok1 = chi21 <= CHI2_F
+    ok2 = chi12 <= CHI2_F
+    sc = jnp.where(ok1, SCORE_TH - chi21, 0.0) + jnp.where(ok2, SCORE_TH - chi12, 0.0)
+    score = jnp.sum(jnp.where(valid, sc, 0.0), axis=-1)
+    return score, valid & ok1 & ok2
+
+
+def triangulate_dlt(P1, P2, xy1, xy2):
+    """Linear triangulation (reference Triangulate, Initializer.cc:697-...):
+    P1, P2 (..., 3, 4) projection matrices; xy (..., 2). Returns (..., 3)."""
+    r0 = xy1[..., 0, None] * P1[..., 2, :] - P1[..., 0, :]
+    r1 = xy1[..., 1, None] * P1[..., 2, :] - P1[..., 1, :]
+    r2 = xy2[..., 0, None] * P2[..., 2, :] - P2[..., 0, :]
+    r3 = xy2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :]
+    A = jnp.stack([r0, r1, r2, r3], axis=-2)  # (..., 4, 4)
+    x = _smallest_eigvec(jnp.swapaxes(A, -1, -2) @ A)
+    w = x[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return x[..., :3] / w[..., None]
+
+
+def check_rt(R, t, K, xy1, xy2, valid, th2: float = 4.0, sigma2: float = 1.0):
+    """Reference CheckRT (Initializer.cc:757-864): triangulate all matches
+    under candidate (R, t) (cam1 = identity), count 'good' points (finite,
+    parallax, positive depth both views, reprojection chi2 < th2*sigma2).
+
+    R, t: (..., 3, 3), (..., 3) — arbitrary leading batch of candidates.
+    Returns (n_good (...,), parallax_deg (...,), pts3d (..., N, 3), good mask).
+    """
+    dt = K.dtype
+    P1 = jnp.concatenate([K, jnp.zeros((3, 1), dt)], axis=1)  # (3,4)
+    Rt = jnp.concatenate([R, t[..., None]], axis=-1)  # (..., 3, 4)
+    P2 = K @ Rt
+    O2 = -(jnp.swapaxes(R, -1, -2) @ t[..., None])[..., 0]  # camera-2 center
+
+    bshape = R.shape[:-2]
+    xy1b = jnp.broadcast_to(xy1, bshape + xy1.shape)
+    xy2b = jnp.broadcast_to(xy2, bshape + xy2.shape)
+    P1b = jnp.broadcast_to(P1, bshape + (xy1.shape[0], 3, 4))
+    P2b = jnp.broadcast_to(P2[..., None, :, :], bshape + (xy1.shape[0], 3, 4))
+    X = triangulate_dlt(P1b, P2b, xy1b, xy2b)  # (..., N, 3)
+
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    n1 = X
+    n2 = X - O2[..., None, :]
+    d1 = jnp.linalg.norm(n1, axis=-1)
+    d2 = jnp.linalg.norm(n2, axis=-1)
+    cos_par = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(d1 * d2, 1e-12)
+    z1 = X[..., 2]
+    Xc2 = (R[..., None, :, :] @ X[..., None])[..., 0] + t[..., None, :]
+    z2 = Xc2[..., 2]
+    ok_depth = (z1 > 0) & (z2 > 0)
+    # points with near-zero parallax only count if they still pass depth,
+    # reference skips depth-behind check for cos > 0.99998
+    low_par = cos_par > 0.99998
+
+    def reproj_err(P, X, xy):
+        ph = (P[..., :, :3] @ X[..., None])[..., 0] + P[..., :, 3]
+        w = jnp.where(jnp.abs(ph[..., 2]) < 1e-12, 1e-12, ph[..., 2])
+        uv = ph[..., :2] / w[..., None]
+        return jnp.sum((uv - xy) ** 2, axis=-1)
+
+    e1 = reproj_err(P1b, X, xy1b)
+    e2 = reproj_err(P2b, X, xy2b)
+    ok_rep = (e1 <= th2 * sigma2) & (e2 <= th2 * sigma2)
+    good = valid & finite & ok_depth & (~low_par) & ok_rep
+    n_good = jnp.sum(good.astype(jnp.int32), axis=-1)
+
+    # parallax statistic (reference: sort good cos ascending, take index
+    # min(50, n)-1 — i.e. the 50th-largest parallax angle, or the smallest
+    # angle when fewer than 50 good points).
+    kk = min(50, cos_par.shape[-1])
+    cp = jnp.where(good, cos_par, 2.0)
+    asc = -jax.lax.top_k(-cp, kk)[0]  # ascending smallest-kk cos values
+    idx = jnp.clip(jnp.minimum(n_good, kk) - 1, 0, kk - 1)
+    cos_stat = jnp.take_along_axis(asc, idx[..., None], axis=-1)[..., 0]
+    parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_stat, -1.0, 1.0)))
+    parallax_deg = jnp.where(n_good > 0, parallax_deg, 0.0)
+    return n_good, parallax_deg, X, good
+
+
+def _decompose_E(E):
+    """E -> (R1, R2, t_unit) (reference DecomposeE, Initializer.cc:866-889)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    t = U[..., :, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    det1 = jnp.linalg.det(R1)
+    det2 = jnp.linalg.det(R2)
+    R1 = R1 * jnp.sign(det1)[..., None, None]
+    R2 = R2 * jnp.sign(det2)[..., None, None]
+    return R1, R2, t
+
+
+def _homography_motions(H21, K):
+    """Faugeras SVD decomposition of a homography into 8 candidate motions
+    (reference ReconstructH, Initializer.cc:541-696). Returns (8,3,3) R,
+    (8,3) t (unit-normalized), all relative cam1->cam2."""
+    invK = jnp.linalg.inv(K)
+    A = invK @ H21 @ K
+    U, d, Vt = jnp.linalg.svd(A)
+    V = jnp.swapaxes(Vt, -1, -2)
+    s = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2]
+
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    x1s = jnp.stack([aux1, aux1, -aux1, -aux1])
+    x3s = jnp.stack([aux3, -aux3, aux3, -aux3])
+
+    # case d' = d2 > 0
+    aux_st = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    ct = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    st = jnp.stack([aux_st, -aux_st, -aux_st, aux_st])
+
+    def rot_p(ct, st):
+        R = jnp.zeros((3, 3), H21.dtype)
+        return (
+            R.at[0, 0].set(ct).at[0, 2].set(-st).at[1, 1].set(1.0).at[2, 0].set(st).at[2, 2].set(ct)
+        )
+
+    Rp_list = [rot_p(ct, st[i]) for i in range(4)]
+    tp_list = [
+        jnp.stack([x1s[i], jnp.zeros_like(x1s[i]), -x3s[i]]) * (d1 - d3) for i in range(4)
+    ]
+
+    # case d' = -d2 < 0
+    aux_sp = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    cp = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    sp = jnp.stack([aux_sp, -aux_sp, -aux_sp, aux_sp])
+
+    def rot_n(cp, sp):
+        R = jnp.zeros((3, 3), H21.dtype)
+        return (
+            R.at[0, 0].set(cp).at[0, 2].set(sp).at[1, 1].set(-1.0).at[2, 0].set(sp).at[2, 2].set(-cp)
+        )
+
+    Rn_list = [rot_n(cp, sp[i]) for i in range(4)]
+    tn_list = [
+        jnp.stack([x1s[i], jnp.zeros_like(x1s[i]), x3s[i]]) * (d1 + d3) for i in range(4)
+    ]
+
+    Rs, ts = [], []
+    for Rp, tp in zip(Rp_list + Rn_list, tp_list + tn_list):
+        R = s * (U @ Rp @ Vt)
+        t = (U @ tp[..., None])[..., 0]
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        Rs.append(R)
+        ts.append(t)
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
+class InitResult(NamedTuple):
+    success: jnp.ndarray  # () bool
+    used_homography: jnp.ndarray  # () bool
+    R21: jnp.ndarray  # (3, 3)
+    t21: jnp.ndarray  # (3,)
+    points3d: jnp.ndarray  # (N, 3) in camera-1 frame
+    triangulated: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray
+
+
+def initialize_two_view(
+    key,
+    K,
+    xy1,  # (N, 2) undistorted keypoints frame 1
+    xy2,  # (N, 2) matched keypoints frame 2 (aligned rows)
+    valid,  # (N,) bool match validity
+    n_hypotheses: int = 256,
+    sigma: float = 1.0,
+) -> InitResult:
+    """Full monocular bootstrap (reference Initializer::Initialize,
+    Initializer.cc:54-133): vmapped 8-point RANSAC for H and F simultaneously,
+    RH model selection, then batched reconstruction + cheirality voting."""
+    N = xy1.shape[0]
+    sigma2 = sigma * sigma
+
+    # --- random 8-point sets: top-8 of masked uniform noise per hypothesis
+    noise = jax.random.uniform(key, (n_hypotheses, N))
+    noise = jnp.where(valid[None, :], noise, -1.0)
+    sets = jax.lax.top_k(noise, 8)[1]  # (NH, 8)
+    s1 = xy1[sets]  # (NH, 8, 2)
+    s2 = xy2[sets]
+
+    # --- normalized fits
+    xn1, T1 = _normalize_points(xy1, valid)
+    xn2, T2 = _normalize_points(xy2, valid)
+    sn1 = xn1[sets]
+    sn2 = xn2[sets]
+    Hn = _fit_homography(sn1, sn2)  # (NH, 3, 3)
+    Fn = _fit_fundamental(sn1, sn2)
+    T2inv = jnp.linalg.inv(T2)
+    H21 = T2inv @ Hn @ T1
+    F21 = T2.T @ Fn @ T1
+
+    # --- score all hypotheses against all matches
+    h_scores, h_inl = _score_homography(H21, xy1, xy2, valid[None, :], sigma2)
+    f_scores, f_inl = _score_fundamental(F21, xy1, xy2, valid[None, :], sigma2)
+    hi = jnp.argmax(h_scores)
+    fi = jnp.argmax(f_scores)
+    SH, SF = h_scores[hi], f_scores[fi]
+    bestH, bestF = H21[hi], F21[fi]
+    inlH, inlF = h_inl[hi], f_inl[fi]
+    RH = SH / jnp.maximum(SH + SF, 1e-9)
+    use_h = RH > 0.40
+
+    # --- reconstruct both (cheap, batched); select per model choice
+    # F path: E decomposition -> 4 candidates
+    E = K.T @ bestF @ K
+    R1, R2, tu = _decompose_E(E)
+    Rf = jnp.stack([R1, R1, R2, R2])
+    tf = jnp.stack([tu, -tu, tu, -tu])
+    nf, pf, Xf, gf = check_rt(Rf, tf, K, xy1, xy2, inlF, th2=4.0, sigma2=sigma2)
+    # H path: 8 Faugeras motions
+    Rh, th = _homography_motions(bestH, K)
+    nh, ph, Xh, gh = check_rt(Rh, th, K, xy1, xy2, inlH, th2=4.0, sigma2=sigma2)
+
+    # --- acceptance logic (reference ReconstructF :446-539 / ReconstructH)
+    def pick(n_good, par, Xs, good, n_ref, second_ratio):
+        k = jnp.argmax(n_good)
+        best = n_good[k]
+        others = n_good.at[k].set(-1)
+        second = jnp.max(others)
+        n_min = jnp.maximum((0.9 * n_ref).astype(jnp.int32), MIN_TRIANGULATED)
+        ok = (
+            (best >= n_min)
+            & (second < second_ratio * best)
+            & (par[k] > MIN_PARALLAX_DEG)
+        )
+        return ok, k, Xs[k], good[k], best
+
+    n_inl_f = jnp.sum(inlF.astype(jnp.int32))
+    n_inl_h = jnp.sum(inlH.astype(jnp.int32))
+    okf, kf, Xf_b, gf_b, nf_b = pick(nf, pf, Xf, gf, n_inl_f, 0.7)
+    okh, kh, Xh_b, gh_b, nh_b = pick(nh, ph, Xh, gh, n_inl_h, 0.75)
+
+    success = jnp.where(use_h, okh, okf)
+    R21 = jnp.where(use_h, Rh[kh], Rf[kf])
+    t21 = jnp.where(use_h, th[kh], tf[kf])
+    X = jnp.where(use_h, Xh_b, Xf_b)
+    tri = jnp.where(use_h, gh_b, gf_b)
+    n_inl = jnp.where(use_h, nh_b, nf_b)
+    return InitResult(
+        success=success,
+        used_homography=use_h,
+        R21=R21,
+        t21=t21,
+        points3d=X,
+        triangulated=tri,
+        n_inliers=n_inl,
+    )
