@@ -1,0 +1,81 @@
+"""Per-frame container (reference src/Frame.cc).
+
+Holds the SoA keypoint/descriptor tensors for one image: extraction happens
+in the batched device extractor, undistortion in one jit call (reference
+UndistortKeyPoints, Frame.cc:329-355). The reference's 64x48 acceleration
+grid (AssignFeaturesToGrid) is intentionally absent: every windowed search is
+a dense masked distance matrix on the MXU, which subsumes GetFeaturesInArea.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.ops import camera, matcher
+
+_frame_counter = itertools.count()
+
+
+def compute_image_bounds(cam, h: int, w: int) -> np.ndarray:
+    """Undistorted image bounds from the 4 corners (reference
+    Frame::ComputeImageBounds, Frame.cc:357-385)."""
+    if not cam.has_distortion:
+        return np.array([0.0, w, 0.0, h], np.float32)
+    corners = jnp.asarray([[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]], jnp.float32)
+    und = np.asarray(camera.undistort_points(corners, jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs)))
+    return np.array(
+        [min(und[0, 0], und[2, 0]), max(und[1, 0], und[3, 0]),
+         min(und[0, 1], und[1, 1]), max(und[2, 1], und[3, 1])],
+        np.float32,
+    )
+
+
+class Frame:
+    def __init__(self, feats, cam, timestamp: float, frame_id=None):
+        """feats: FrameFeatures for ONE frame (leading batch dim stripped)."""
+        self.id = next(_frame_counter) if frame_id is None else frame_id
+        self.timestamp = timestamp
+
+        self.kp_xy = np.asarray(feats.xy)
+        self.kp_octave = np.asarray(feats.octave)
+        self.kp_angle = np.asarray(feats.angle)
+        self.kp_response = np.asarray(feats.response)
+        self.desc = np.asarray(feats.desc)
+        self.kp_valid = np.asarray(feats.valid)
+
+        if cam.has_distortion:
+            und = camera.undistort_points(
+                jnp.asarray(self.kp_xy), jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs)
+            )
+            self.kp_und = np.asarray(und)
+        else:
+            self.kp_und = self.kp_xy
+
+        n = len(self.kp_xy)
+        self.mp_ids = np.full(n, -1, np.int64)
+        self.outlier = np.zeros(n, bool)
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        self.pose_set = False
+
+        # device-resident caches used by every matcher call
+        self.j_und = jnp.asarray(self.kp_und)
+        self.j_bits = matcher.unpack_bits_pm1(jnp.asarray(self.desc))
+        self.j_octave = jnp.asarray(self.kp_octave)
+        self.j_angle = jnp.asarray(self.kp_angle)
+        self.j_valid = jnp.asarray(self.kp_valid)
+
+    @property
+    def n_kp(self):
+        return len(self.kp_xy)
+
+    def set_pose(self, Rcw, tcw):
+        self.Rcw = np.asarray(Rcw, np.float32).reshape(3, 3)
+        self.tcw = np.asarray(tcw, np.float32).reshape(3)
+        self.pose_set = True
+
+    def camera_center(self) -> np.ndarray:
+        return (-self.Rcw.T @ self.tcw).astype(np.float32)

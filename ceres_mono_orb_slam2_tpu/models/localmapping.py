@@ -1,0 +1,468 @@
+"""LocalMapping: map building around new keyframes (reference
+src/LocalMapping.cc).
+
+Runs as a pipeline stage (sequential by default, optionally on a host thread
+via the System facade): process new keyframe -> cull recent map points ->
+triangulate new points against covisible keyframes -> fuse duplicates ->
+local bundle adjustment -> cull redundant keyframes. The geometry-heavy
+steps (epipolar search, triangulation checks, local BA) run on device; graph
+bookkeeping stays host-side.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.models.map import Map, KeyFrame
+from ceres_mono_orb_slam2_tpu.ops import matcher, optim, twoview
+
+log = logging.getLogger(__name__)
+
+
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], np.float64)
+
+
+class LocalMapping:
+    def __init__(self, config, map_: Map, loop_closer=None):
+        self.config = config
+        self.map = map_
+        self.loop_closer = loop_closer
+        self.K = config.camera.K.astype(np.float64)
+        self.jK = jnp.asarray(config.camera.K)
+        self.scale_factors = config.orb.scale_factors
+        self.level_sigma2 = config.orb.level_sigma2
+        self.inv_sigma2 = config.orb.inv_level_sigma2
+        self.n_levels = config.orb.n_levels
+        self.queue: List[int] = []
+        self.recent_points: List[int] = []
+        self.abort_ba = False
+        self._accepting = True
+        self.n_local_ba = 0
+
+    # ------------------------------------------------------------- interface
+
+    def insert_keyframe(self, kf_id: int):
+        self.queue.append(kf_id)
+        self.abort_ba = True
+
+    def accepting(self) -> bool:
+        return self._accepting
+
+    def interrupt_ba(self):
+        self.abort_ba = True
+
+    def reset(self):
+        self.queue.clear()
+        self.recent_points.clear()
+
+    def process_queue(self):
+        while self.queue:
+            kf_id = self.queue.pop(0)
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            self._process(kf)
+
+    # ------------------------------------------------------------- pipeline
+
+    def _process(self, kf: KeyFrame):
+        self._process_new_keyframe(kf)
+        self._map_point_culling(kf)
+        self._create_new_map_points(kf)
+        if not self.queue:
+            self._search_in_neighbors(kf)
+        self.abort_ba = False
+        if not self.queue and self.map.n_keyframes() > 2:
+            self._local_bundle_adjustment(kf)
+            self._keyframe_culling(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf.id)
+
+    def _process_new_keyframe(self, kf: KeyFrame):
+        """Reference ProcessNewKeyFrame (LocalMapping.cc:129-165)."""
+        m = self.map
+        for i in np.nonzero(kf.mp_ids >= 0)[0]:
+            mp = m.get_mp(int(kf.mp_ids[i]))
+            if mp is None:
+                kf.mp_ids[i] = -1
+                continue
+            if kf.id not in mp.observations:
+                m.add_observation(mp, kf, int(i))
+                m.update_normal_and_depth(mp, self.scale_factors)
+                m.compute_distinctive_descriptor(mp)
+        m.update_connections(kf)
+
+    def _map_point_culling(self, kf: KeyFrame):
+        """Reference MapPointCulling (LocalMapping.cc:167-194)."""
+        m = self.map
+        cur_kf_id = kf.id
+        survivors = []
+        for mid in self.recent_points:
+            mp = m.map_points.get(mid)
+            if mp is None or mp.bad:
+                continue
+            if mp.found_ratio() < 0.25:
+                m.set_bad_map_point(mp)
+            elif cur_kf_id - mp.first_kf_id >= 2 and mp.n_obs <= 2:
+                m.set_bad_map_point(mp)
+            elif cur_kf_id - mp.first_kf_id >= 3:
+                pass  # graduated
+            else:
+                survivors.append(mid)
+        self.recent_points = survivors
+
+    def _median_depth(self, kf: KeyFrame) -> float:
+        depths = []
+        for mid in kf.mp_ids:
+            if mid >= 0:
+                mp = self.map.get_mp(int(mid))
+                if mp is not None:
+                    depths.append((kf.Rcw @ mp.pos + kf.tcw)[2])
+        return float(np.median(depths)) if depths else -1.0
+
+    def _create_new_map_points(self, kf: KeyFrame):
+        """Reference CreateNewMapPoints (LocalMapping.cc:196-396): epipolar
+        search + triangulation against the top-20 covisible keyframes."""
+        m = self.map
+        neighbors = kf.best_covisible(20)
+        O1 = kf.camera_center()
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        invK = np.linalg.inv(self.K)
+        ratio_factor = 1.5 * float(self.config.orb.scale_factor)
+
+        kf_bits = matcher.unpack_bits_pm1(jnp.asarray(kf.desc))
+        kf_free = jnp.asarray((kf.mp_ids < 0) & kf.kp_valid)
+
+        for nb_id in neighbors:
+            kf2 = m.keyframes.get(nb_id)
+            if kf2 is None or kf2.bad:
+                continue
+            O2 = kf2.camera_center()
+            baseline = float(np.linalg.norm(O2 - O1))
+            med_depth = self._median_depth(kf2)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue
+
+            # F12 = K^-T [t12]x R12 K^-1 (reference ComputeF12, :490-505)
+            R1, t1 = kf.Rcw.astype(np.float64), kf.tcw.astype(np.float64)
+            R2, t2 = kf2.Rcw.astype(np.float64), kf2.tcw.astype(np.float64)
+            R12 = R1 @ R2.T
+            t12 = -R12 @ t2 + t1
+            F12 = invK.T @ _skew(t12) @ R12 @ invK
+            # epipole of camera 1 in image 2
+            C2 = R2 @ O1.astype(np.float64) + t2
+            if abs(C2[2]) < 1e-9:
+                continue
+            ep2 = np.array([fx * C2[0] / C2[2] + cx, fy * C2[1] / C2[2] + cy], np.float32)
+
+            kf2_free = jnp.asarray((kf2.mp_ids < 0) & kf2.kp_valid)
+            idx, dist, valid = matcher.search_for_triangulation(
+                jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave), jnp.asarray(kf.kp_angle),
+                kf_bits, kf_free,
+                jnp.asarray(kf2.kp_und), jnp.asarray(kf2.kp_octave), jnp.asarray(kf2.kp_angle),
+                matcher.unpack_bits_pm1(jnp.asarray(kf2.desc)), kf2_free,
+                jnp.asarray(F12.astype(np.float32)), jnp.asarray(ep2),
+                jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
+            )
+            vi = np.asarray(valid)
+            if vi.sum() == 0:
+                continue
+            i1 = np.nonzero(vi)[0]
+            i2 = np.asarray(idx)[i1]
+
+            # batched triangulation + acceptance checks (numpy; counts are small)
+            uv1 = kf.kp_und[i1].astype(np.float64)
+            uv2 = kf2.kp_und[i2].astype(np.float64)
+            xn1 = np.stack([(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy, np.ones(len(i1))], -1)
+            xn2 = np.stack([(uv2[:, 0] - cx) / fx, (uv2[:, 1] - cy) / fy, np.ones(len(i2))], -1)
+            ray1 = xn1 @ R1  # = R1^T xn (world)
+            ray2 = xn2 @ R2
+            cos_par = np.sum(ray1 * ray2, -1) / np.maximum(
+                np.linalg.norm(ray1, axis=-1) * np.linalg.norm(ray2, axis=-1), 1e-12
+            )
+            # triangulate in K-normalized coordinates (pixel-scale DLT is too
+            # ill-conditioned for the f32 eigensolve; depth bias compounds
+            # into monocular scale runaway)
+            P1 = np.concatenate([R1, t1[:, None]], 1)
+            P2 = np.concatenate([R2, t2[:, None]], 1)
+            X = np.asarray(
+                twoview.triangulate_dlt(
+                    jnp.asarray(np.broadcast_to(P1, (len(i1), 3, 4)).astype(np.float32)),
+                    jnp.asarray(np.broadcast_to(P2, (len(i1), 3, 4)).astype(np.float32)),
+                    jnp.asarray(xn1[:, :2].astype(np.float32)), jnp.asarray(xn2[:, :2].astype(np.float32)),
+                )
+            ).astype(np.float64)
+            good = (cos_par > 0) & (cos_par < 0.9998)
+            z1v = (X @ R1.T + t1)[:, 2]
+            z2v = (X @ R2.T + t2)[:, 2]
+            good &= (z1v > 0) & (z2v > 0)
+
+            def reproj_chi2(R, t, uv, octs):
+                Xc = X @ R.T + t
+                u = fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-9) + cx
+                v = fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-9) + cy
+                return ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / self.level_sigma2[octs]
+
+            good &= reproj_chi2(R1, t1, uv1, kf.kp_octave[i1]) <= 5.991
+            good &= reproj_chi2(R2, t2, uv2, kf2.kp_octave[i2]) <= 5.991
+            # scale consistency (reference :356-375)
+            d1 = np.linalg.norm(X - O1.astype(np.float64), axis=-1)
+            d2 = np.linalg.norm(X - O2.astype(np.float64), axis=-1)
+            ratio_dist = d2 / np.maximum(d1, 1e-12)
+            ratio_oct = (
+                self.scale_factors[kf.kp_octave[i1]] / self.scale_factors[kf2.kp_octave[i2]]
+            )
+            good &= (ratio_dist * ratio_factor > ratio_oct) & (ratio_dist < ratio_oct * ratio_factor)
+            good &= d1 > 1e-9
+            good &= d2 > 1e-9
+
+            for k in np.nonzero(good)[0]:
+                ia, ib = int(i1[k]), int(i2[k])
+                if kf.mp_ids[ia] >= 0 or kf2.mp_ids[ib] >= 0:
+                    continue
+                mp = m.new_map_point(X[k].astype(np.float32), kf.desc[ia], kf.id)
+                mp.first_kf_id = kf.id
+                m.add_observation(mp, kf, ia)
+                m.add_observation(mp, kf2, ib)
+                m.compute_distinctive_descriptor(mp)
+                m.update_normal_and_depth(mp, self.scale_factors)
+                self.recent_points.append(mp.id)
+
+    def _search_in_neighbors(self, kf: KeyFrame):
+        """Reference SearchInNeighbors (LocalMapping.cc:398-488): fuse the
+        current keyframe's points into 1st+2nd-order neighbors and back."""
+        m = self.map
+        targets = []
+        seen = {kf.id}
+        for nb in kf.best_covisible(20):
+            if nb not in seen:
+                targets.append(nb)
+                seen.add(nb)
+                nkf = m.keyframes.get(nb)
+                if nkf is not None:
+                    for nb2 in nkf.best_covisible(5):
+                        if nb2 not in seen:
+                            targets.append(nb2)
+                            seen.add(nb2)
+        cur_mps = [int(mid) for mid in kf.mp_ids if mid >= 0]
+        for t_id in targets:
+            tkf = m.keyframes.get(t_id)
+            if tkf is not None and not tkf.bad:
+                self._fuse_into(tkf, cur_mps)
+        # reverse fuse: all target map points into the current keyframe
+        fuse_ids = []
+        fs = set()
+        for t_id in targets:
+            tkf = m.keyframes.get(t_id)
+            if tkf is None:
+                continue
+            for mid in tkf.mp_ids:
+                if mid >= 0 and mid not in fs:
+                    fuse_ids.append(int(mid))
+                    fs.add(mid)
+        self._fuse_into(kf, fuse_ids)
+
+        for i in np.nonzero(kf.mp_ids >= 0)[0]:
+            mp = m.get_mp(int(kf.mp_ids[i]))
+            if mp is not None:
+                m.compute_distinctive_descriptor(mp)
+                m.update_normal_and_depth(mp, self.scale_factors)
+        m.update_connections(kf)
+
+    def _fuse_into(self, kf: KeyFrame, mp_ids: List[int], th: float = 3.0):
+        """Reference ORBmatcher::Fuse (ORBmatcher.cc:724-842) host merge."""
+        m = self.map
+        mp_ids = [m.resolve(mid) for mid in mp_ids]
+        mp_ids = [mid for mid in mp_ids if mid >= 0 and kf.id not in m.map_points[mid].observations]
+        if not mp_ids:
+            return
+        M = len(mp_ids)
+        pos = np.stack([m.map_points[mid].pos for mid in mp_ids])
+        desc = np.stack([m.map_points[mid].descriptor for mid in mp_ids])
+        mind = np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32)
+        maxd = np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32)
+        normal = np.stack([m.map_points[mid].normal for mid in mp_ids])
+
+        from ceres_mono_orb_slam2_tpu.ops import frustum as frustum_ops
+
+        # bounds are effectively unconstrained here: search_fuse's spatial
+        # window implies the projection lands near a real keypoint anyway
+        uv, level, viewcos, visible = frustum_ops.frustum_and_scale(
+            jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw), self.jK,
+            jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32)),
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
+            jnp.ones(M, bool), float(np.log(self.config.orb.scale_factor)), self.n_levels,
+        )
+        idx, dist, valid = matcher.search_fuse(
+            jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
+            matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kf.kp_valid),
+            uv, level, matcher.unpack_bits_pm1(jnp.asarray(desc)), visible,
+            jnp.asarray(self.scale_factors), th=th,
+        )
+        vi = np.asarray(valid)
+        ii = np.asarray(idx)
+        for q in np.nonzero(vi)[0]:
+            mp = m.get_mp(mp_ids[q])
+            if mp is None:
+                continue
+            kp = int(ii[q])
+            existing_id = m.resolve(int(kf.mp_ids[kp]))
+            if existing_id >= 0:
+                existing = m.map_points[existing_id]
+                if existing.id == mp.id:
+                    continue
+                # replace the one with fewer observations
+                if existing.n_obs > mp.n_obs:
+                    m.replace_map_point(mp, existing)
+                else:
+                    m.replace_map_point(existing, mp)
+            else:
+                m.add_observation(mp, kf, kp)
+
+    # -------------------------------------------------------------- local BA
+
+    def _local_bundle_adjustment(self, kf: KeyFrame):
+        """Reference LocalBundleAdjustment (CeresOptimizer.cc:344-599): the
+        current KF + its covisibles are free, keyframes seeing local points
+        but not covisible are fixed; two-pass robust -> trimmed solve; outlier
+        observations erased from the map afterwards."""
+        m = self.map
+        shapes = self.config.shapes
+        local_ids = [kf.id] + kf.best_covisible(len(kf.ordered_neighbors))
+        local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
+        local_ids = local_ids[: max(shapes.max_local_keyframes // 2, 2)]
+        local_set = set(local_ids)
+
+        mp_ids = []
+        mp_set = set()
+        for k in local_ids:
+            for mid in m.keyframes[k].mp_ids:
+                if mid >= 0 and mid not in mp_set:
+                    mp = m.get_mp(int(mid))
+                    if mp is not None:
+                        mp_ids.append(int(mid))
+                        mp_set.add(int(mid))
+        mp_ids = mp_ids[: shapes.max_ba_points]
+
+        fixed_ids = []
+        fixed_set = set()
+        for mid in mp_ids:
+            for ok_id in m.map_points[mid].observations:
+                if ok_id not in local_set and ok_id not in fixed_set:
+                    okf = m.keyframes.get(ok_id)
+                    if okf is not None and not okf.bad:
+                        fixed_ids.append(ok_id)
+                        fixed_set.add(ok_id)
+        max_fixed = shapes.max_local_keyframes - len(local_ids)
+        fixed_ids = fixed_ids[:max_fixed]
+
+        kf_ids = local_ids + fixed_ids
+        kf_slot = {k: i for i, k in enumerate(kf_ids)}
+        mp_slot = {mid: i for i, mid in enumerate(mp_ids)}
+
+        obs = []
+        for mid in mp_ids:
+            mp = m.map_points[mid]
+            for ok_id, kidx in mp.observations.items():
+                if ok_id in kf_slot:
+                    okf = m.keyframes[ok_id]
+                    obs.append((kf_slot[ok_id], mp_slot[mid], kidx, okf))
+        obs = obs[: shapes.max_ba_obs]
+        if len(obs) < 10:
+            return
+
+        P = shapes.max_local_keyframes
+        MM = shapes.max_ba_points
+        OO = shapes.max_ba_obs
+        R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        t = np.zeros((P, 3), np.float32)
+        fixed = np.ones(P, bool)
+        for k, i in kf_slot.items():
+            R[i] = m.keyframes[k].Rcw
+            t[i] = m.keyframes[k].tcw
+            fixed[i] = k in fixed_set or k == 0
+        pts = np.zeros((MM, 3), np.float32)
+        pvalid = np.zeros(MM, bool)
+        for mid, i in mp_slot.items():
+            pts[i] = m.map_points[mid].pos
+            pvalid[i] = True
+        op = np.zeros(OO, np.int32)
+        oj = np.zeros(OO, np.int32)
+        ouv = np.zeros((OO, 2), np.float32)
+        ow = np.ones(OO, np.float32)
+        ovalid = np.zeros(OO, bool)
+        for q, (pslot, jslot, kidx, okf) in enumerate(obs):
+            op[q] = pslot
+            oj[q] = jslot
+            ouv[q] = okf.kp_und[kidx]
+            ow[q] = self.inv_sigma2[okf.kp_octave[kidx]]
+            ovalid[q] = True
+
+        res = optim.bundle_adjustment(
+            self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
+            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
+            jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid),
+            iters_huber=5, iters_trimmed=10,
+        )
+        self.n_local_ba += 1
+        Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
+        inl = np.asarray(res.inlier_obs)
+        for k, i in kf_slot.items():
+            if not fixed[i]:
+                m.keyframes[k].Rcw = Rn[i]
+                m.keyframes[k].tcw = tn[i]
+        for mid, i in mp_slot.items():
+            mp = m.map_points.get(mid)
+            if mp is not None and not mp.bad:
+                mp.pos = ptsn[i]
+                m.update_normal_and_depth(mp, self.scale_factors)
+        # erase outlier observations (reference CeresOptimizer.cc:573-581)
+        for q, (pslot, jslot, kidx, okf) in enumerate(obs):
+            if not inl[q]:
+                mid = mp_ids[jslot]
+                mp = m.map_points.get(mid)
+                if mp is not None and not mp.bad:
+                    m.erase_observation(mp, okf.id)
+
+    # -------------------------------------------------------------- KF culling
+
+    def _keyframe_culling(self, kf: KeyFrame):
+        """Reference KeyFrameCulling (LocalMapping.cc:576-637): a local KF is
+        redundant if >=90% of its map points are seen by >=3 other keyframes
+        at the same or finer scale."""
+        m = self.map
+        for k_id in kf.best_covisible(len(kf.ordered_neighbors)):
+            okf = m.keyframes.get(k_id)
+            if okf is None or okf.bad or okf.id == 0:
+                continue
+            n_mps = 0
+            n_redundant = 0
+            for i in np.nonzero(okf.mp_ids >= 0)[0]:
+                mp = m.get_mp(int(okf.mp_ids[i]))
+                if mp is None:
+                    continue
+                n_mps += 1
+                if mp.n_obs <= 3:
+                    continue
+                level = int(okf.kp_octave[i])
+                n_better = 0
+                for ok2, kidx2 in mp.observations.items():
+                    if ok2 == okf.id:
+                        continue
+                    kf2 = m.keyframes.get(ok2)
+                    if kf2 is None or kf2.bad:
+                        continue
+                    if int(kf2.kp_octave[kidx2]) <= level + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_mps > 0 and n_redundant > 0.9 * n_mps:
+                m.erase_keyframe(okf)

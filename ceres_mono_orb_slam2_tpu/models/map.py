@@ -1,0 +1,369 @@
+"""Host-side map data model: Map, KeyFrame, MapPoint.
+
+The reference keeps these as mutex-guarded pointer graphs (src/Map.cc,
+src/KeyFrame.cc, src/MapPoint.cc). The graph machinery (covisibility,
+spanning tree, bad-flag lifecycle) is pointer-heavy host logic and not hot,
+so it stays in Python; all per-keyframe tensor payloads (keypoints,
+descriptors) are numpy SoA arrays that upload to device in padded batches at
+the call sites that need them (matchers, BA).
+
+Behavioral parity notes:
+- covisibility edges kept at weight >= 15, else the single best
+  (KeyFrame::UpdateConnections, KeyFrame.cc:314-398)
+- spanning tree: first connection becomes the parent (KeyFrame.cc:392-396)
+- KeyFrame::SetBadFlag re-parents children to the best candidate among each
+  child's covisibles that are already connected to the tree (KeyFrame.cc:460-553)
+- MapPoint distinctive descriptor = min median Hamming over observations
+  (MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:256-315)
+- normal/depth update and scale prediction (MapPoint.cc:335-420)
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+COVIS_TH = 15  # minimum shared-point weight for a covisibility edge
+
+
+def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount Hamming distance over trailing 32-byte axis (numpy)."""
+    return np.unpackbits(np.bitwise_xor(a, b), axis=-1).sum(-1)
+
+
+class MapPoint:
+    __slots__ = (
+        "id", "pos", "descriptor", "normal", "min_dist", "max_dist",
+        "observations", "ref_kf_id", "first_kf_id", "n_visible", "n_found",
+        "bad", "replaced_by", "track_in_view", "last_frame_seen",
+    )
+
+    def __init__(self, mp_id: int, pos: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):
+        self.id = mp_id
+        self.pos = pos.astype(np.float32)
+        self.descriptor = descriptor.astype(np.uint8)
+        self.normal = np.zeros(3, np.float32)
+        self.min_dist = 0.0
+        self.max_dist = 0.0
+        self.observations: Dict[int, int] = {}  # kf_id -> keypoint index
+        self.ref_kf_id = ref_kf_id
+        self.first_kf_id = ref_kf_id
+        self.n_visible = 1
+        self.n_found = 1
+        self.bad = False
+        self.replaced_by: Optional[int] = None
+        self.last_frame_seen = -1
+
+    @property
+    def n_obs(self) -> int:
+        return len(self.observations)
+
+    def found_ratio(self) -> float:
+        return self.n_found / max(self.n_visible, 1)
+
+
+class KeyFrame:
+    __slots__ = (
+        "id", "frame_id", "timestamp", "Rcw", "tcw",
+        "kp_xy", "kp_und", "kp_octave", "kp_angle", "kp_response", "desc", "kp_valid",
+        "mp_ids", "covisible", "ordered_neighbors", "parent", "children",
+        "loop_edges", "bad", "not_erase", "to_be_erased", "bow_vec",
+        "Tcw_gba", "gba_for_kf",
+    )
+
+    def __init__(self, kf_id: int, frame):
+        self.id = kf_id
+        self.frame_id = frame.id
+        self.timestamp = frame.timestamp
+        self.Rcw = frame.Rcw.copy()
+        self.tcw = frame.tcw.copy()
+        self.kp_xy = frame.kp_xy
+        self.kp_und = frame.kp_und
+        self.kp_octave = frame.kp_octave
+        self.kp_angle = frame.kp_angle
+        self.kp_response = frame.kp_response
+        self.desc = frame.desc
+        self.kp_valid = frame.kp_valid
+        self.mp_ids = frame.mp_ids.copy()  # (N,) int64, -1 = unassociated
+        self.covisible: Dict[int, int] = {}  # kf_id -> weight
+        self.ordered_neighbors: List[int] = []
+        self.parent: Optional[int] = None
+        self.children: set = set()
+        self.loop_edges: set = set()
+        self.bad = False
+        self.not_erase = False
+        self.to_be_erased = False
+        self.bow_vec = None
+        self.Tcw_gba = None
+        self.gba_for_kf = -1
+
+    @property
+    def n_kp(self) -> int:
+        return len(self.kp_xy)
+
+    def camera_center(self) -> np.ndarray:
+        return (-self.Rcw.T @ self.tcw).astype(np.float32)
+
+    def best_covisible(self, n: int) -> List[int]:
+        return self.ordered_neighbors[:n]
+
+    def tracked_map_points(self, min_obs: int, mp_table: Dict[int, MapPoint]) -> int:
+        c = 0
+        for mid in self.mp_ids:
+            if mid >= 0:
+                mp = mp_table.get(int(mid))
+                if mp is not None and not mp.bad and mp.n_obs >= min_obs:
+                    c += 1
+        return c
+
+
+class Map:
+    """Global map registry (reference src/Map.cc). `update_lock` serializes
+    tracking against loop correction / GBA, mirroring mutex_map_update_."""
+
+    def __init__(self):
+        self.keyframes: Dict[int, KeyFrame] = {}
+        self.map_points: Dict[int, MapPoint] = {}
+        self.next_kf_id = 0
+        self.next_mp_id = 0
+        self.keyframe_origins: List[int] = []
+        self.big_change_idx = 0
+        self.update_lock = threading.RLock()
+
+    # ----- creation / deletion -------------------------------------------------
+
+    def new_keyframe(self, frame) -> KeyFrame:
+        kf = KeyFrame(self.next_kf_id, frame)
+        self.next_kf_id += 1
+        self.keyframes[kf.id] = kf
+        return kf
+
+    def new_map_point(self, pos, descriptor, ref_kf_id) -> MapPoint:
+        mp = MapPoint(self.next_mp_id, pos, descriptor, ref_kf_id)
+        self.next_mp_id += 1
+        self.map_points[mp.id] = mp
+        return mp
+
+    def get_mp(self, mid: int) -> Optional[MapPoint]:
+        mp = self.map_points.get(mid)
+        if mp is None or mp.bad:
+            return None
+        return mp
+
+    def resolve(self, mid: int) -> int:
+        """Follow Replace() forwarding pointers."""
+        seen = 0
+        while mid >= 0 and seen < 16:
+            mp = self.map_points.get(mid)
+            if mp is None:
+                return -1
+            if mp.replaced_by is None:
+                return mid if not mp.bad else -1
+            mid = mp.replaced_by
+            seen += 1
+        return -1
+
+    # ----- observations / covisibility -----------------------------------------
+
+    def add_observation(self, mp: MapPoint, kf: KeyFrame, idx: int):
+        mp.observations[kf.id] = idx
+        kf.mp_ids[idx] = mp.id
+
+    def erase_observation(self, mp: MapPoint, kf_id: int):
+        idx = mp.observations.pop(kf_id, None)
+        if idx is not None:
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and kf.mp_ids[idx] == mp.id:
+                kf.mp_ids[idx] = -1
+        if mp.n_obs <= 2:
+            self.set_bad_map_point(mp)
+        elif mp.ref_kf_id == kf_id and mp.observations:
+            mp.ref_kf_id = next(iter(mp.observations))
+
+    def set_bad_map_point(self, mp: MapPoint):
+        mp.bad = True
+        for kf_id, idx in list(mp.observations.items()):
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and kf.mp_ids[idx] == mp.id:
+                kf.mp_ids[idx] = -1
+        mp.observations.clear()
+
+    def replace_map_point(self, mp: MapPoint, target: MapPoint):
+        """Reference MapPoint::Replace (MapPoint.cc:199-233)."""
+        if mp.id == target.id:
+            return
+        for kf_id, idx in list(mp.observations.items()):
+            kf = self.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            if kf_id not in target.observations:
+                target.observations[kf_id] = idx
+                kf.mp_ids[idx] = target.id
+            else:
+                if kf.mp_ids[idx] == mp.id:
+                    kf.mp_ids[idx] = -1
+        target.n_found += mp.n_found
+        target.n_visible += mp.n_visible
+        mp.observations.clear()
+        mp.bad = True
+        mp.replaced_by = target.id
+        self.compute_distinctive_descriptor(target)
+
+    def update_connections(self, kf: KeyFrame):
+        """Reference KeyFrame::UpdateConnections (KeyFrame.cc:314-398)."""
+        counter: Dict[int, int] = {}
+        for mid in kf.mp_ids:
+            if mid < 0:
+                continue
+            mp = self.get_mp(int(mid))
+            if mp is None:
+                continue
+            for okf_id in mp.observations:
+                if okf_id != kf.id:
+                    counter[okf_id] = counter.get(okf_id, 0) + 1
+        if not counter:
+            return
+        best_id = max(counter, key=counter.get)
+        connected = {k: w for k, w in counter.items() if w >= COVIS_TH}
+        if not connected:
+            connected = {best_id: counter[best_id]}
+        kf.covisible = connected
+        kf.ordered_neighbors = sorted(connected, key=connected.get, reverse=True)
+        for okf_id, w in connected.items():
+            okf = self.keyframes.get(okf_id)
+            if okf is not None and not okf.bad:
+                okf.covisible[kf.id] = w
+                okf.ordered_neighbors = sorted(okf.covisible, key=okf.covisible.get, reverse=True)
+        # spanning tree: first connection sets the parent
+        if kf.parent is None and kf.id != 0:
+            kf.parent = best_id
+            parent = self.keyframes.get(best_id)
+            if parent is not None:
+                parent.children.add(kf.id)
+
+    def erase_keyframe(self, kf: KeyFrame):
+        """Reference KeyFrame::SetBadFlag (KeyFrame.cc:460-553): remove
+        observations, detach covisibility, re-parent spanning-tree children."""
+        if kf.id == 0:
+            return
+        if kf.not_erase:
+            kf.to_be_erased = True
+            return
+        for mid in kf.mp_ids:
+            if mid >= 0:
+                mp = self.map_points.get(int(mid))
+                if mp is not None:
+                    idx = mp.observations.pop(kf.id, None)
+                    if idx is not None and mp.n_obs <= 2:
+                        self.set_bad_map_point(mp)
+        for okf_id in list(kf.covisible):
+            okf = self.keyframes.get(okf_id)
+            if okf is not None:
+                okf.covisible.pop(kf.id, None)
+                okf.ordered_neighbors = sorted(okf.covisible, key=okf.covisible.get, reverse=True)
+        # re-parent children: greedy, candidates = connected-to-tree set
+        candidates = {kf.parent} if kf.parent is not None else set()
+        children = set(kf.children)
+        while children:
+            best = None  # (weight, child, new_parent)
+            for ch_id in children:
+                ch = self.keyframes.get(ch_id)
+                if ch is None or ch.bad:
+                    continue
+                for cand_id in candidates:
+                    w = ch.covisible.get(cand_id)
+                    if w is not None and (best is None or w > best[0]):
+                        best = (w, ch_id, cand_id)
+            if best is None:
+                break
+            _, ch_id, new_parent = best
+            ch = self.keyframes[ch_id]
+            ch.parent = new_parent
+            par = self.keyframes.get(new_parent)
+            if par is not None:
+                par.children.add(ch_id)
+            candidates.add(ch_id)
+            children.remove(ch_id)
+        # orphans hang off the erased keyframe's parent
+        for ch_id in children:
+            ch = self.keyframes.get(ch_id)
+            if ch is not None:
+                ch.parent = kf.parent
+                par = self.keyframes.get(kf.parent) if kf.parent is not None else None
+                if par is not None:
+                    par.children.add(ch_id)
+        if kf.parent is not None:
+            par = self.keyframes.get(kf.parent)
+            if par is not None:
+                par.children.discard(kf.id)
+        kf.bad = True
+        del self.keyframes[kf.id]
+
+    # ----- map point statistics -------------------------------------------------
+
+    def compute_distinctive_descriptor(self, mp: MapPoint):
+        descs = []
+        for kf_id, idx in mp.observations.items():
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and not kf.bad:
+                descs.append(kf.desc[idx])
+        if not descs:
+            return
+        D = np.stack(descs)
+        dist = hamming_np(D[:, None, :], D[None, :, :])
+        medians = np.median(dist, axis=1)
+        mp.descriptor = D[int(np.argmin(medians))].copy()
+
+    def update_normal_and_depth(self, mp: MapPoint, scale_factors: np.ndarray):
+        """Reference MapPoint::UpdateNormalAndDepth (MapPoint.cc:335-388)."""
+        if not mp.observations:
+            return
+        normal = np.zeros(3, np.float64)
+        n = 0
+        for kf_id in mp.observations:
+            kf = self.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            v = mp.pos - kf.camera_center()
+            nv = np.linalg.norm(v)
+            if nv > 1e-9:
+                normal += v / nv
+                n += 1
+        if n == 0:
+            return
+        ref = self.keyframes.get(mp.ref_kf_id)
+        if ref is None or ref.bad:
+            mp.ref_kf_id = next(iter(mp.observations))
+            ref = self.keyframes.get(mp.ref_kf_id)
+            if ref is None:
+                return
+        dist = float(np.linalg.norm(mp.pos - ref.camera_center()))
+        idx = mp.observations.get(ref.id)
+        level = int(ref.kp_octave[idx]) if idx is not None else 0
+        n_levels = len(scale_factors)
+        mp.max_dist = dist * float(scale_factors[level])
+        mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
+        mp.normal = (normal / n).astype(np.float32)
+
+    # ----- misc ------------------------------------------------------------------
+
+    def all_keyframes(self) -> List[KeyFrame]:
+        return [kf for kf in self.keyframes.values() if not kf.bad]
+
+    def all_map_points(self) -> List[MapPoint]:
+        return [mp for mp in self.map_points.values() if not mp.bad]
+
+    def n_keyframes(self) -> int:
+        return len(self.keyframes)
+
+    def n_map_points(self) -> int:
+        return sum(1 for mp in self.map_points.values() if not mp.bad)
+
+    def clear(self):
+        self.keyframes.clear()
+        self.map_points.clear()
+        self.next_kf_id = 0
+        self.next_mp_id = 0
+        self.keyframe_origins.clear()

@@ -1,0 +1,699 @@
+"""Tracking: the per-frame state machine (reference src/Tracking.cc).
+
+Host orchestration of device kernels: motion-model tracking, reference-KF
+tracking, local-map tracking (three pose solves per frame like the
+reference), keyframe decision, monocular initialization, relocalization.
+State machine and thresholds mirror Tracking.cc; all heavy math (matching,
+RANSAC init, LM pose solves, frustum checks) runs jit-compiled on device
+with static padded shapes.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.models.frame import Frame, compute_image_bounds
+from ceres_mono_orb_slam2_tpu.models.map import Map
+from ceres_mono_orb_slam2_tpu.ops import frustum, lie, matcher, optim, pnp, twoview
+
+log = logging.getLogger(__name__)
+
+
+class State(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0):
+    if len(arr) >= n:
+        return arr[:n]
+    pad = np.full((n - len(arr),) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class Tracking:
+    def __init__(self, config, map_: Map, extractor, local_mapper=None, relocalizer=None):
+        self.config = config
+        self.map = map_
+        self.extractor = extractor
+        self.local_mapper = local_mapper
+        self.relocalizer = relocalizer  # optional: KeyFrameDatabase-based
+
+        cam = config.camera
+        self.cam = cam
+        self.jK = jnp.asarray(cam.K)
+        self.scale_factors = config.orb.scale_factors
+        self.inv_sigma2 = config.orb.inv_level_sigma2
+        self.j_scale = jnp.asarray(self.scale_factors)
+        self.j_inv_sigma2 = jnp.asarray(self.inv_sigma2)
+        self.log_scale = float(np.log(config.orb.scale_factor))
+        self.n_levels = config.orb.n_levels
+        self.bounds: Optional[np.ndarray] = None  # set on first frame
+
+        self.state = State.NO_IMAGES_YET
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.velocity = None  # (R, t) relative motion or None
+        self.ref_kf_id: Optional[int] = None
+        self.init_ref: Optional[Frame] = None
+        self.init_matches = None
+        self.last_kf_id = -1
+        self.last_reloc_frame_id = -1
+        self.matches_inliers = 0
+        self.max_frames = int(cam.fps)
+        self.min_frames = 0
+        self.localization_only = False
+        self._key = jax.random.PRNGKey(0)
+
+        # per-frame trajectory log: (ref_kf_id, R_rel, t_rel, timestamp, lost)
+        self.trajectory = []
+        self.n_resets = 0
+
+    # ------------------------------------------------------------------ utils
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def build_frame(self, image: np.ndarray, timestamp: float) -> Frame:
+        if self.bounds is None:
+            self.bounds = compute_image_bounds(self.cam, image.shape[-2], image.shape[-1])
+            self.j_bounds = jnp.asarray(self.bounds)
+        feats = self.extractor.extract(image)
+        feats = jax.tree_util.tree_map(lambda a: a[0], feats)
+        return Frame(feats, self.cam, timestamp)
+
+    def grab_image(self, image: np.ndarray, timestamp: float):
+        """Reference Tracking::GrabImageMonocular + Track()
+        (Tracking.cc:154-383). Returns Tcw (4,4) or None if not tracked."""
+        self.current = self.build_frame(image, timestamp)
+        with self.map.update_lock:
+            self._track()
+        f = self.current
+        self.last_frame = f
+        if f.pose_set:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = f.Rcw
+            T[:3, 3] = f.tcw
+            return T
+        return None
+
+    # ------------------------------------------------------------------ track
+
+    def _track(self):
+        f = self.current
+        if self.state == State.NO_IMAGES_YET:
+            self.state = State.NOT_INITIALIZED
+
+        if self.state == State.NOT_INITIALIZED:
+            self._monocular_initialization()
+            return
+
+        ok = False
+        if self.state == State.OK and not self.localization_only:
+            self._check_replaced_in_last_frame()
+            if self.velocity is not None:
+                ok = self._track_with_motion_model()
+            if not ok:
+                ok = self._track_reference_keyframe()
+        elif self.state == State.OK and self.localization_only:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model()
+            if not ok:
+                ok = self._track_reference_keyframe()
+        else:  # LOST
+            ok = self._relocalization()
+
+        if ok and not (self.localization_only and self.state == State.LOST):
+            ok = self._track_local_map()
+
+        self.state = State.OK if ok else State.LOST
+
+        if ok:
+            # velocity update
+            if self.last_frame is not None and self.last_frame.pose_set:
+                Rl, tl = self.last_frame.Rcw, self.last_frame.tcw
+                Rv = f.Rcw @ Rl.T
+                tv = f.tcw - Rv @ tl
+                self.velocity = (Rv, tv)
+            # clean outlier associations (reference Tracking.cc:345-350)
+            f.mp_ids[f.outlier] = -1
+            f.outlier[:] = False
+            if not self.localization_only and self._need_new_keyframe():
+                self._create_new_keyframe()
+            self._log_trajectory(False)
+        else:
+            self.velocity = None
+            if self.map.n_keyframes() <= 5:
+                log.info("Track lost soon after initialisation, reseting...")
+                self.reset()
+                return
+            self._log_trajectory(True)
+
+    def _log_trajectory(self, lost: bool):
+        f = self.current
+        if self.ref_kf_id is None:
+            return
+        kf = self.map.keyframes.get(self.ref_kf_id)
+        if kf is None or not f.pose_set:
+            # reuse previous entry semantics (reference keeps last known rel)
+            if self.trajectory:
+                prev = self.trajectory[-1]
+                self.trajectory.append((prev[0], prev[1], prev[2], f.timestamp, True))
+            return
+        # T_cr = Tcw * Twr
+        R_rel = f.Rcw @ kf.Rcw.T
+        t_rel = f.tcw - R_rel @ kf.tcw
+        self.trajectory.append((kf.id, R_rel, t_rel, f.timestamp, lost))
+
+    # ------------------------------------------------- monocular initialization
+
+    def _monocular_initialization(self):
+        f = self.current
+        n_valid = int(f.kp_valid.sum())
+        if self.init_ref is None or self.init_ref.kp_valid.sum() <= 100:
+            if n_valid > 100:
+                self.init_ref = f
+            return
+        if n_valid <= 100:
+            self.init_ref = None
+            return
+
+        ref = self.init_ref
+        idx, dist, valid = matcher.search_for_initialization(
+            ref.j_und, ref.j_angle, ref.j_bits, ref.j_valid, ref.j_octave,
+            f.j_und, f.j_angle, f.j_bits, f.j_valid, f.j_octave,
+            window=100.0,
+        )
+        n_matches = int(np.asarray(valid).sum())
+        if n_matches < 100:
+            self.init_ref = None
+            return
+
+        xy2 = f.j_und[idx]
+        res = twoview.initialize_two_view(self._next_key(), self.jK, ref.j_und, xy2, valid)
+        if not bool(res.success):
+            return
+        self._create_initial_map(ref, f, np.asarray(idx), np.asarray(res.triangulated),
+                                 np.asarray(res.R21), np.asarray(res.t21), np.asarray(res.points3d))
+
+    def _create_initial_map(self, ref: Frame, cur: Frame, idx, tri, R21, t21, pts3d):
+        """Reference CreateInitialMapMonocular (Tracking.cc:455-551)."""
+        m = self.map
+        ref.set_pose(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        cur.set_pose(R21, t21)
+        kf1 = m.new_keyframe(ref)
+        kf2 = m.new_keyframe(cur)
+        m.keyframe_origins.append(kf1.id)
+
+        for i in np.nonzero(tri)[0]:
+            j = int(idx[i])
+            mp = m.new_map_point(pts3d[i], cur.desc[j], kf2.id)
+            m.add_observation(mp, kf1, int(i))
+            m.add_observation(mp, kf2, j)
+            m.compute_distinctive_descriptor(mp)
+            m.update_normal_and_depth(mp, self.scale_factors)
+            cur.mp_ids[j] = mp.id
+        m.update_connections(kf1)
+        m.update_connections(kf2)
+        log.info("New Map created with %d points", m.n_map_points())
+
+        # full BA on the 2-KF map (reference GlobalBundleAdjustemnt(map, 20))
+        self._global_ba_small(n_iters=20)
+
+        # depth normalization: median scene depth -> 1
+        depths = []
+        kf1_ = m.keyframes[kf1.id]
+        for mid in kf1_.mp_ids:
+            if mid >= 0:
+                mp = m.get_mp(int(mid))
+                if mp is not None:
+                    depths.append((kf1_.Rcw @ mp.pos + kf1_.tcw)[2])
+        median_depth = float(np.median(depths)) if depths else -1.0
+        if median_depth < 0 or kf2.tracked_map_points(1, m.map_points) < 80:
+            log.info("Wrong initialization, reseting...")
+            self.reset()
+            return
+        inv = 1.0 / median_depth
+        kf2_ = m.keyframes[kf2.id]
+        kf2_.tcw = (kf2_.tcw * inv).astype(np.float32)
+        for mp in m.all_map_points():
+            mp.pos = (mp.pos * inv).astype(np.float32)
+            m.update_normal_and_depth(mp, self.scale_factors)
+
+        cur.set_pose(kf2_.Rcw, kf2_.tcw)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf1.id)
+            self.local_mapper.insert_keyframe(kf2.id)
+        self.ref_kf_id = kf2.id
+        self.last_kf_id = kf2.id
+        self.init_ref = None
+        self.state = State.OK
+
+    def _global_ba_small(self, n_iters: int = 20):
+        """Full BA over the whole (small) map — used at initialization."""
+        m = self.map
+        kfs = m.all_keyframes()
+        mps = m.all_map_points()
+        if not kfs or not mps:
+            return
+        kf_slot = {kf.id: i for i, kf in enumerate(kfs)}
+        mp_slot = {mp.id: i for i, mp in enumerate(mps)}
+        obs = []
+        for mp in mps:
+            for kf_id, kidx in mp.observations.items():
+                kf = m.keyframes.get(kf_id)
+                if kf is None or kf.bad:
+                    continue
+                obs.append((kf_slot[kf_id], mp_slot[mp.id], kf.kp_und[kidx],
+                            self.inv_sigma2[kf.kp_octave[kidx]]))
+        if not obs:
+            return
+        P, M, O = len(kfs), len(mps), len(obs)
+        R = np.stack([kf.Rcw for kf in kfs])
+        t = np.stack([kf.tcw for kf in kfs])
+        pts = np.stack([mp.pos for mp in mps])
+        op = np.array([o[0] for o in obs], np.int32)
+        oj = np.array([o[1] for o in obs], np.int32)
+        ouv = np.stack([o[2] for o in obs]).astype(np.float32)
+        ow = np.array([o[3] for o in obs], np.float32)
+        fixed = np.zeros(P, bool)
+        fixed[kf_slot[min(kf.id for kf in kfs)]] = True
+        res = optim.bundle_adjustment(
+            self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
+            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
+            jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(M, bool),
+            iters_huber=0, iters_trimmed=n_iters,
+        )
+        Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
+        for kf in kfs:
+            s = kf_slot[kf.id]
+            if not fixed[s]:
+                kf.Rcw, kf.tcw = Rn[s], tn[s]
+        for mp in mps:
+            mp.pos = ptsn[mp_slot[mp.id]]
+
+    # ------------------------------------------------------------ frame tracking
+
+    @staticmethod
+    def _dedup_mp_ids(mp_ids: np.ndarray):
+        """Keep only the first slot of any duplicated map-point id (fuse
+        replacements can fold two slots onto one id, which would double-count
+        observations in the pose solve and corrupt keyframe bookkeeping)."""
+        seen = {}
+        for i in np.nonzero(mp_ids >= 0)[0]:
+            mid = int(mp_ids[i])
+            if mid in seen:
+                mp_ids[i] = -1
+            else:
+                seen[mid] = i
+
+    def _check_replaced_in_last_frame(self):
+        lf = self.last_frame
+        for i in np.nonzero(lf.mp_ids >= 0)[0]:
+            rid = self.map.resolve(int(lf.mp_ids[i]))
+            lf.mp_ids[i] = rid
+        self._dedup_mp_ids(lf.mp_ids)
+
+    def _gather_frame_points(self, frame: Frame):
+        """Positions/descriptors of the frame's associated map points, aligned
+        to keypoint slots. Returns (pos (N,3), ok (N,))."""
+        n = frame.n_kp
+        pos = np.zeros((n, 3), np.float32)
+        ok = np.zeros(n, bool)
+        for i in np.nonzero(frame.mp_ids >= 0)[0]:
+            mp = self.map.get_mp(int(frame.mp_ids[i]))
+            if mp is not None:
+                pos[i] = mp.pos
+                ok[i] = True
+            else:
+                frame.mp_ids[i] = -1
+        return pos, ok
+
+    def _pose_optimize(self, frame: Frame) -> int:
+        pos, ok = self._gather_frame_points(frame)
+        if ok.sum() < 3:
+            return 0
+        w = self.inv_sigma2[frame.kp_octave]
+        res = optim.pose_optimization(
+            self.jK, jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(pos), jnp.asarray(frame.kp_und),
+            jnp.asarray(w.astype(np.float32)), jnp.asarray(ok),
+        )
+        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
+        inl = np.asarray(res.inliers)
+        frame.outlier = ok & ~inl
+        return int(inl.sum())
+
+    def _update_last_frame(self):
+        """Reference UpdateLastFrame (Tracking.cc:553-564): re-anchor the last
+        frame's pose to its reference keyframe via the stored relative
+        transform — local BA / loop correction may have moved the keyframe."""
+        if not self.trajectory:
+            return
+        kf_id, R_rel, t_rel, _, _ = self.trajectory[-1]
+        kf = self.map.keyframes.get(kf_id)
+        if kf is None or kf.bad:
+            return
+        self.last_frame.set_pose(R_rel @ kf.Rcw, R_rel @ kf.tcw + t_rel)
+
+    def _track_with_motion_model(self) -> bool:
+        """Reference TrackWithMotionModel (Tracking.cc:617-671)."""
+        f, lf = self.current, self.last_frame
+        self._update_last_frame()
+        Rv, tv = self.velocity
+        f.set_pose(Rv @ lf.Rcw, Rv @ lf.tcw + tv)
+
+        pos, ok = self._gather_frame_points(lf)
+        if ok.sum() < 10:
+            return False
+        jpos = jnp.asarray(pos)
+        Xc = jpos @ jnp.asarray(f.Rcw).T + jnp.asarray(f.tcw)
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        pr_uv = jnp.stack(
+            [self.jK[0, 0] * Xc[:, 0] / z + self.jK[0, 2],
+             self.jK[1, 1] * Xc[:, 1] / z + self.jK[1, 2]], axis=-1)
+        pr_valid = jnp.asarray(ok) & (Xc[:, 2] > 0)
+
+        for th in (15.0, 30.0):  # retry wider (reference :662-668)
+            idx, dist, valid = matcher.search_by_projection_frame(
+                f.j_und, f.j_octave, f.j_angle, f.j_bits, f.j_valid,
+                pr_uv, lf.j_octave, lf.j_angle, lf.j_bits, pr_valid,
+                self.j_scale, th=th,
+            )
+            n = int(np.asarray(valid).sum())
+            if n >= 20:
+                break
+        if n < 20:
+            return False
+        f.mp_ids[:] = -1
+        vi = np.asarray(valid)
+        f.mp_ids[np.asarray(idx)[vi]] = lf.mp_ids[np.nonzero(vi)[0]]
+        self._dedup_mp_ids(f.mp_ids)
+        self.matches_inliers = self._pose_optimize(f)
+        f.mp_ids[f.outlier] = -1
+        f.outlier[:] = False
+        return self.matches_inliers >= 10
+
+    def _track_reference_keyframe(self) -> bool:
+        """Reference TrackReferenceKeyFrame (Tracking.cc:566-607)."""
+        f = self.current
+        kf = self.map.keyframes.get(self.ref_kf_id)
+        if kf is None or kf.bad:
+            return False
+        kf_has_mp = (kf.mp_ids >= 0) & kf.kp_valid
+        idx, dist, valid = matcher.search_by_descriptor(
+            f.j_angle, f.j_bits, f.j_valid,
+            jnp.asarray(kf.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf.desc)),
+            jnp.asarray(kf_has_mp),
+            ratio=0.7,
+        )
+        n = int(np.asarray(valid).sum())
+        if n < 15:
+            return False
+        f.mp_ids[:] = -1
+        vi = np.asarray(valid)
+        f.mp_ids[vi] = kf.mp_ids[np.asarray(idx)[vi]]
+        if self.last_frame is not None and self.last_frame.pose_set:
+            f.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
+        self.matches_inliers = self._pose_optimize(f)
+        f.mp_ids[f.outlier] = -1
+        f.outlier[:] = False
+        return self.matches_inliers >= 10
+
+    # -------------------------------------------------------------- local map
+
+    def _update_local_map(self):
+        """Reference UpdateLocalKeyFrames/Points (Tracking.cc:838-977)."""
+        f = self.current
+        counts = {}
+        for mid in f.mp_ids:
+            if mid < 0:
+                continue
+            mp = self.map.get_mp(int(mid))
+            if mp is None:
+                continue
+            for kf_id in mp.observations:
+                counts[kf_id] = counts.get(kf_id, 0) + 1
+        if not counts:
+            return [], []
+        local_kfs = []
+        seen = set()
+        for kf_id in sorted(counts, key=counts.get, reverse=True):
+            kf = self.map.keyframes.get(kf_id)
+            if kf is not None and not kf.bad:
+                local_kfs.append(kf_id)
+                seen.add(kf_id)
+        self.ref_kf_id = local_kfs[0]
+        # expand with neighbors / children / parent, cap 80 (Tracking.cc:928)
+        for kf_id in list(local_kfs):
+            if len(local_kfs) > 80:
+                break
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            for nb in kf.best_covisible(10) + list(kf.children) + ([kf.parent] if kf.parent is not None else []):
+                if nb not in seen:
+                    nkf = self.map.keyframes.get(nb)
+                    if nkf is not None and not nkf.bad:
+                        local_kfs.append(nb)
+                        seen.add(nb)
+                        break  # reference adds one neighbor per source KF pass
+        # local points
+        mp_ids = []
+        mp_seen = set()
+        for kf_id in local_kfs:
+            kf = self.map.keyframes[kf_id]
+            for mid in kf.mp_ids:
+                if mid >= 0 and mid not in mp_seen:
+                    mp = self.map.get_mp(int(mid))
+                    if mp is not None:
+                        mp_ids.append(int(mid))
+                        mp_seen.add(mid)
+        return local_kfs, mp_ids
+
+    def _track_local_map(self) -> bool:
+        """Reference TrackLocalMap (Tracking.cc:673-715) + SearchLocalPoints."""
+        f = self.current
+        local_kfs, mp_ids = self._update_local_map()
+        if not mp_ids:
+            return False
+        in_frame = set(int(m) for m in f.mp_ids if m >= 0)
+        cand = [m for m in mp_ids if m not in in_frame]
+        for mid in in_frame:
+            mp = self.map.get_mp(mid)
+            if mp is not None:
+                mp.n_visible += 1
+                mp.last_frame_seen = f.id
+
+        cap = self.config.shapes.max_local_points
+        cand = cand[:cap]
+        if cand:
+            M = cap
+            pos = np.zeros((M, 3), np.float32)
+            normal = np.zeros((M, 3), np.float32)
+            mind = np.zeros(M, np.float32)
+            maxd = np.zeros(M, np.float32)
+            desc = np.zeros((M, 32), np.uint8)
+            cvalid = np.zeros(M, bool)
+            for i, mid in enumerate(cand):
+                mp = self.map.map_points[mid]
+                pos[i] = mp.pos
+                normal[i] = mp.normal
+                mind[i] = mp.min_dist
+                maxd[i] = mp.max_dist
+                desc[i] = mp.descriptor
+                cvalid[i] = True
+            uv, level, viewcos, visible = frustum.frustum_and_scale(
+                jnp.asarray(f.Rcw), jnp.asarray(f.tcw), self.jK, self.j_bounds,
+                jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
+                jnp.asarray(cvalid), self.log_scale, self.n_levels,
+            )
+            vis = np.asarray(visible)
+            for i in np.nonzero(vis)[0]:
+                mp = self.map.map_points[cand[i]]
+                mp.n_visible += 1
+                mp.last_frame_seen = f.id
+
+            th = 1.0
+            if self.current.id < self.last_reloc_frame_id + 2:
+                th = 5.0
+            kp_free = jnp.asarray(f.mp_ids < 0) & f.j_valid
+            mp_bits = matcher.unpack_bits_pm1(jnp.asarray(desc))
+            idx, dist, valid = matcher.search_by_projection_points(
+                f.j_und, f.j_octave, f.j_bits, f.j_valid, kp_free,
+                uv, level, viewcos, mp_bits, visible, self.j_scale, th=th,
+            )
+            vi = np.asarray(valid)
+            ii = np.asarray(idx)
+            for q in np.nonzero(vi)[0]:
+                f.mp_ids[ii[q]] = cand[q]
+
+        self.matches_inliers = self._pose_optimize(f)
+        # found counters (reference Tracking.cc:694-706)
+        inl = ~f.outlier
+        for i in np.nonzero((f.mp_ids >= 0))[0]:
+            mp = self.map.get_mp(int(f.mp_ids[i]))
+            if mp is not None and inl[i]:
+                mp.n_found += 1
+        f.mp_ids[f.outlier] = -1
+        f.outlier[:] = False
+
+        if self.current.id < self.last_reloc_frame_id + self.max_frames and self.matches_inliers < 50:
+            return False
+        return self.matches_inliers >= 30
+
+    # ------------------------------------------------------------ keyframe mgmt
+
+    def _need_new_keyframe(self) -> bool:
+        """Reference NeedNewKeyFrame (Tracking.cc:717-775), mono branch."""
+        m = self.map
+        n_kfs = m.n_keyframes()
+        if self.current.id < self.last_reloc_frame_id + self.max_frames and n_kfs > self.max_frames:
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_kf = m.keyframes.get(self.ref_kf_id)
+        ref_matches = ref_kf.tracked_map_points(min_obs, m.map_points) if ref_kf else 0
+        mapper_idle = self.local_mapper.accepting() if self.local_mapper else True
+        c1a = self.current.id >= self.last_kf_frame_id() + self.max_frames
+        c1b = self.current.id >= self.last_kf_frame_id() + self.min_frames and mapper_idle
+        c2 = self.matches_inliers < ref_matches * 0.9 and self.matches_inliers > 15
+        if (c1a or c1b) and c2:
+            if mapper_idle:
+                return True
+            if self.local_mapper is not None:
+                self.local_mapper.interrupt_ba()
+            return False
+        return False
+
+    def last_kf_frame_id(self) -> int:
+        kf = self.map.keyframes.get(self.last_kf_id)
+        return kf.frame_id if kf is not None else -(10**9)
+
+    def _create_new_keyframe(self):
+        f = self.current
+        kf = self.map.new_keyframe(f)
+        for i in np.nonzero(f.mp_ids >= 0)[0]:
+            mp = self.map.get_mp(int(f.mp_ids[i]))
+            if mp is not None:
+                self.map.add_observation(mp, kf, int(i))
+        self.ref_kf_id = kf.id
+        self.last_kf_id = kf.id
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf.id)
+
+    # ------------------------------------------------------------ relocalization
+
+    def _relocalization(self) -> bool:
+        """Reference Relocalization (Tracking.cc:979-1137). Candidate
+        keyframes come from the BoW database when available; the PnP RANSAC +
+        projection-widening loop mirrors the reference."""
+        f = self.current
+        if self.relocalizer is None:
+            return False
+        cand_ids = self.relocalizer.detect_relocalization_candidates(f)
+        if not cand_ids:
+            return False
+        for kf_id in cand_ids:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            kf_has_mp = (kf.mp_ids >= 0) & kf.kp_valid
+            idx, dist, valid = matcher.search_by_descriptor(
+                f.j_angle, f.j_bits, f.j_valid,
+                jnp.asarray(kf.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf.desc)),
+                jnp.asarray(kf_has_mp), ratio=0.75,
+            )
+            vi = np.asarray(valid)
+            if vi.sum() < 15:
+                continue
+            # 2D-3D sets aligned to current frame keypoints
+            n = f.n_kp
+            pos = np.zeros((n, 3), np.float32)
+            ok = np.zeros(n, bool)
+            ids = np.full(n, -1, np.int64)
+            kidx = np.asarray(idx)
+            for q in np.nonzero(vi)[0]:
+                mp = self.map.get_mp(int(kf.mp_ids[kidx[q]]))
+                if mp is not None:
+                    pos[q] = mp.pos
+                    ok[q] = True
+                    ids[q] = mp.id
+            if ok.sum() < 15:
+                continue
+            res = pnp.ransac_pnp(
+                self._next_key(), self.jK, jnp.asarray(pos), jnp.asarray(f.kp_und),
+                jnp.asarray(self.inv_sigma2[f.kp_octave].astype(np.float32)), jnp.asarray(ok),
+            )
+            if not bool(res.success):
+                continue
+            f.set_pose(np.asarray(res.R), np.asarray(res.t))
+            inl = np.asarray(res.inliers)
+            f.mp_ids[:] = -1
+            f.mp_ids[inl] = ids[inl]
+            n_good = self._pose_optimize(f)
+            f.mp_ids[f.outlier] = -1
+            f.outlier[:] = False
+            if n_good >= 50:
+                self.last_reloc_frame_id = f.id
+                return True
+            # widen with projection search against this KF's map points
+            pos2 = np.zeros((n, 3), np.float32)
+            # project all of kf's map points
+            cand_mp = [int(m) for m in kf.mp_ids if m >= 0 and self.map.get_mp(int(m)) is not None]
+            if not cand_mp:
+                continue
+            M = len(cand_mp)
+            mp_pos = np.stack([self.map.map_points[m].pos for m in cand_mp])
+            mp_desc = np.stack([self.map.map_points[m].descriptor for m in cand_mp])
+            Xc = mp_pos @ f.Rcw.T + f.tcw
+            zok = Xc[:, 2] > 1e-6
+            uvp = np.stack(
+                [self.cam.fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cx,
+                 self.cam.fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cy], -1
+            ).astype(np.float32)
+            already = set(int(m) for m in f.mp_ids if m >= 0)
+            fresh = np.array([m not in already for m in cand_mp])
+            idx2, d2, v2 = matcher.search_by_projection_frame(
+                f.j_und, f.j_octave, f.j_angle, f.j_bits, f.j_valid & jnp.asarray(f.mp_ids < 0),
+                jnp.asarray(uvp), jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.float32),
+                matcher.unpack_bits_pm1(jnp.asarray(mp_desc)), jnp.asarray(zok & fresh),
+                self.j_scale, th=10.0, check_rotation=False, dist_th=100,
+            )
+            v2 = np.asarray(v2)
+            i2 = np.asarray(idx2)
+            for q in np.nonzero(v2)[0]:
+                f.mp_ids[i2[q]] = cand_mp[q]
+            n_good = self._pose_optimize(f)
+            f.mp_ids[f.outlier] = -1
+            f.outlier[:] = False
+            if n_good >= 50:
+                self.last_reloc_frame_id = f.id
+                return True
+        return False
+
+    # ------------------------------------------------------------------ reset
+
+    def reset(self):
+        """Reference Tracking::Reset (Tracking.cc:1139-1179)."""
+        self.map.clear()
+        if self.local_mapper is not None:
+            self.local_mapper.reset()
+        if self.relocalizer is not None:
+            self.relocalizer.clear()
+        self.state = State.NOT_INITIALIZED
+        self.last_frame = None
+        self.velocity = None
+        self.ref_kf_id = None
+        self.init_ref = None
+        self.last_kf_id = -1
+        self.trajectory.clear()
+        self.n_resets += 1

@@ -287,7 +287,16 @@ def search_for_triangulation(
 
     dist = hamming_matrix(bits1, bits2)
     best_val, best_idx, _, _ = masked_top2(dist, mask)
-    valid = valid1 & (best_val <= TH_LOW)
+    # Mutual cross-check: the reference prunes candidates to a shared BoW
+    # vocabulary node (ORBmatcher.cc:601-630), which our dense search lacks —
+    # without it, a corner matches its best partner along the whole epipolar
+    # band and aliased wrong matches (arbitrary triangulated depth!) pass
+    # every two-view gate by construction. Requiring 1<->2 mutual best
+    # restores equivalent selectivity.
+    d2 = jnp.where(mask, dist, BIG)
+    col_best = jnp.argmin(d2, axis=0)  # best row for each column
+    mutual = col_best[best_idx] == jnp.arange(best_idx.shape[0])
+    valid = valid1 & (best_val <= TH_LOW) & mutual
     if check_rotation:
         valid = rotation_consistency_mask(angle1, angle2[best_idx], valid)
     valid = resolve_duplicate_targets(best_idx, best_val, valid, xy2.shape[0])

@@ -76,10 +76,17 @@ def pose_optimization(
     valid,  # (N,) bool
     max_iters: int = 10,
     chi2_th: float = CHI2_MONO,
+    rounds: int = 4,
 ) -> PoseOptResult:
     """Motion-only BA of one frame (reference PoseOptimization,
     CeresOptimizer.cc:275-342): minimize sum huber(w * ||uv - proj(R X + t)||^2)
     over the 6-dof pose, then a chi2 outlier pass at 5.991.
+
+    Runs `rounds` LM blocks, re-classifying inliers/outliers at chi2_th
+    between blocks with outliers excluded from the next block (the original
+    ORB-SLAM2 4-round trimming scheme; borderline-biased associations
+    otherwise keep pulling the solution toward the motion-model prediction
+    and feed a velocity-loop drift).
     """
     delta = jnp.sqrt(chi2_th)
 
@@ -89,18 +96,18 @@ def pose_optimization(
         behind = Xc[..., 2] <= 0.05
         return r, Xc, behind
 
-    def cost_fn(R, t):
+    def cost_fn(R, t, active):
         r, _, behind = residuals(R, t)
         s = inv_sigma2 * jnp.sum(r * r, axis=-1)
         s = jnp.where(behind, 1e6, s)
-        return jnp.sum(jnp.where(valid, huber_cost(s, delta), 0.0))
+        return jnp.sum(jnp.where(active, huber_cost(s, delta), 0.0))
 
     def step(carry, _):
-        R, t, lam, cost = carry
+        R, t, lam, cost, active = carry
         r, Xc, behind = residuals(R, t)
         s = inv_sigma2 * jnp.sum(r * r, axis=-1)
         w = inv_sigma2 * huber_weight(s, delta)
-        w = jnp.where(valid & ~behind, w, 0.0)
+        w = jnp.where(active & ~behind, w, 0.0)
         # J wrt left-increment xi on Tcw: dXc/dxi = [I | -hat(Xc)]
         Jp = _proj_jacobian(K, Xc)  # (N, 2, 3)
         Jxi = jnp.concatenate([Jp, -Jp @ lie.hat(Xc)], axis=-1)  # (N, 2, 6) of d proj/d xi
@@ -113,20 +120,27 @@ def pose_optimization(
         dR, dt = lie.se3_exp(dx)
         R_new = dR @ R
         t_new = (dR @ t[..., None])[..., 0] + dt
-        new_cost = cost_fn(R_new, t_new)
+        new_cost = cost_fn(R_new, t_new, active)
         accept = new_cost < cost
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 4.0, 1e5))
         cost = jnp.where(accept, new_cost, cost)
-        return (R, t, lam, cost), None
+        return (R, t, lam, cost, active), None
 
-    cost0 = cost_fn(R0, t0)
-    (R, t, _, cost), _ = jax.lax.scan(step, (R0, t0, jnp.asarray(1e-3, R0.dtype), cost0), None, length=max_iters)
+    R, t = R0, t0
+    active = valid
+    for _ in range(max(rounds, 1)):
+        cost0 = cost_fn(R, t, active)
+        (R, t, _, cost, _), _ = jax.lax.scan(
+            step, (R, t, jnp.asarray(1e-3, R0.dtype), cost0, active), None, length=max_iters
+        )
+        # re-classify: outliers leave, returners re-enter (orig ORB-SLAM2 scheme)
+        r, Xc, behind = residuals(R, t)
+        chi2 = inv_sigma2 * jnp.sum(r * r, axis=-1)
+        active = valid & ~behind & (chi2 <= chi2_th)
 
-    r, Xc, behind = residuals(R, t)
-    chi2 = inv_sigma2 * jnp.sum(r * r, axis=-1)
-    inliers = valid & ~behind & (chi2 <= chi2_th)
+    inliers = active
     return PoseOptResult(R=R, t=t, inliers=inliers, n_inliers=jnp.sum(inliers.astype(jnp.int32)), cost=cost)
 
 

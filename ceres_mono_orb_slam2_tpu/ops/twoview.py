@@ -158,17 +158,24 @@ def check_rt(R, t, K, xy1, xy2, valid, th2: float = 4.0, sigma2: float = 1.0):
     Returns (n_good (...,), parallax_deg (...,), pts3d (..., N, 3), good mask).
     """
     dt = K.dtype
-    P1 = jnp.concatenate([K, jnp.zeros((3, 1), dt)], axis=1)  # (3,4)
-    Rt = jnp.concatenate([R, t[..., None]], axis=-1)  # (..., 3, 4)
-    P2 = K @ Rt
+    # Triangulate in K-normalized coordinates: the pixel-scale DLT matrix has
+    # condition ~1e6 and the f32 eigh of A^T A loses percent-level accuracy
+    # in depth, which compounds into monocular scale runaway downstream.
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xn1 = jnp.stack([(xy1[..., 0] - cx) / fx, (xy1[..., 1] - cy) / fy], axis=-1)
+    xn2 = jnp.stack([(xy2[..., 0] - cx) / fx, (xy2[..., 1] - cy) / fy], axis=-1)
+    P1 = jnp.concatenate([jnp.eye(3, dtype=dt), jnp.zeros((3, 1), dt)], axis=1)  # [I|0]
+    P2 = jnp.concatenate([R, t[..., None]], axis=-1)  # (..., 3, 4) = [R|t]
     O2 = -(jnp.swapaxes(R, -1, -2) @ t[..., None])[..., 0]  # camera-2 center
 
     bshape = R.shape[:-2]
     xy1b = jnp.broadcast_to(xy1, bshape + xy1.shape)
     xy2b = jnp.broadcast_to(xy2, bshape + xy2.shape)
+    xn1b = jnp.broadcast_to(xn1, bshape + xn1.shape)
+    xn2b = jnp.broadcast_to(xn2, bshape + xn2.shape)
     P1b = jnp.broadcast_to(P1, bshape + (xy1.shape[0], 3, 4))
     P2b = jnp.broadcast_to(P2[..., None, :, :], bshape + (xy1.shape[0], 3, 4))
-    X = triangulate_dlt(P1b, P2b, xy1b, xy2b)  # (..., N, 3)
+    X = triangulate_dlt(P1b, P2b, xn1b, xn2b)  # (..., N, 3)
 
     finite = jnp.all(jnp.isfinite(X), axis=-1)
     n1 = X
@@ -185,10 +192,12 @@ def check_rt(R, t, K, xy1, xy2, valid, th2: float = 4.0, sigma2: float = 1.0):
     low_par = cos_par > 0.99998
 
     def reproj_err(P, X, xy):
+        # P is a normalized [R|t]; convert to pixels with K for the chi2 gate
         ph = (P[..., :, :3] @ X[..., None])[..., 0] + P[..., :, 3]
         w = jnp.where(jnp.abs(ph[..., 2]) < 1e-12, 1e-12, ph[..., 2])
-        uv = ph[..., :2] / w[..., None]
-        return jnp.sum((uv - xy) ** 2, axis=-1)
+        u = fx * ph[..., 0] / w + cx
+        v = fy * ph[..., 1] / w + cy
+        return (u - xy[..., 0]) ** 2 + (v - xy[..., 1]) ** 2
 
     e1 = reproj_err(P1b, X, xy1b)
     e2 = reproj_err(P2b, X, xy2b)

@@ -64,14 +64,44 @@ def _make_texture(rng, size_uv, texel: float = 0.07):
     # smooth the noise floor
     for _ in range(2):
         tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1) + np.roll(tex, (1, 1), (0, 1))) / 4
-    n_blobs = (ht * wt) // 64
-    for _ in range(n_blobs):
-        y = rng.integers(0, ht - 10)
-        x = rng.integers(0, wt - 10)
-        hh = rng.integers(3, 10)
-        ww = rng.integers(3, 10)
-        tex[y : y + hh, x : x + ww] = rng.uniform(120, 245)
-    return tex
+    # Multi-scale rectangles with continuous intensities. CAUTION: flat
+    # axis-aligned blobs alone form a quasi-lattice of near-identical corners
+    # on a plane; association sliding by one blob is homography-consistent and
+    # lets the tracked pose drift freely at subpixel residuals (found the hard
+    # way). The multi-octave continuous noise added below makes every
+    # descriptor-sized window globally unique, like real-world texture.
+    n_blobs = (ht * wt) // 56
+    sizes = np.exp(rng.uniform(np.log(3), np.log(26), (n_blobs, 2))).astype(np.int64)
+    for (hh, ww) in sizes:
+        y = rng.integers(0, max(ht - hh, 1))
+        x = rng.integers(0, max(wt - ww, 1))
+        # each rectangle gets a unique intensity ramp: flat equal-intensity
+        # blobs produce near-identical descriptors that alias under windowed
+        # matching (wrong-blob lock-in)
+        base = rng.uniform(70, 220)
+        gy, gx = rng.uniform(-8, 8, 2)
+        yy = np.arange(hh)[:, None]
+        xx = np.arange(ww)[None, :]
+        tex[y : y + hh, x : x + ww] = base + gy * yy + gx * xx
+
+    def octave(res_div, amp):
+        small = rng.uniform(-1.0, 1.0, (max(ht // res_div, 2), max(wt // res_div, 2)))
+        ys = np.linspace(0, small.shape[0] - 1, ht)
+        xs = np.linspace(0, small.shape[1] - 1, wt)
+        y0 = np.clip(ys.astype(np.int64), 0, small.shape[0] - 2)
+        x0 = np.clip(xs.astype(np.int64), 0, small.shape[1] - 2)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        v = (
+            (1 - fy) * (1 - fx) * small[y0][:, x0]
+            + (1 - fy) * fx * small[y0][:, x0 + 1]
+            + fy * (1 - fx) * small[y0 + 1][:, x0]
+            + fy * fx * small[y0 + 1][:, x0 + 1]
+        )
+        return amp * v
+
+    tex = tex + octave(32, 45.0) + octave(12, 32.0) + octave(5, 22.0)
+    return np.clip(tex, 5, 250).astype(np.float32)
 
 
 def _bilinear(tex, x, y):
@@ -119,35 +149,66 @@ def _render(planes: List[Plane], K, Rcw, tcw, h, w, background=25.0):
 
 
 def default_world(rng, extent: float = 20.0) -> List[Plane]:
-    """A corridor-like world: back wall + angled side wall + floor."""
+    """A 'wall with posters' world: two near-fronto-parallel walls at
+    different depths plus floating, mostly camera-facing quads.
+
+    Design constraints learned the hard way:
+    - NO grazing-incidence surfaces along the trajectory (an angled side wall
+      / oblique floor compresses into aliased self-similar stripes at some x
+      and systematically corrupts matching right there);
+    - depth variation everywhere (quads + two wall depths) so uniformly
+      shifted association sets are geometrically inconsistent;
+    - quads tilted at most ~25 degrees so their texture stays well-sampled.
+    """
     planes = []
     planes.append(
         Plane(
-            origin=np.array([-5.0, -4.0, 10.0]),
-            ex=np.array([1.0, 0.0, 0.05]) / np.linalg.norm([1.0, 0.0, 0.05]),
+            origin=np.array([-6.0, -4.0, 10.0]),
+            ex=np.array([1.0, 0.0, 0.04]) / np.linalg.norm([1.0, 0.0, 0.04]),
             ey=np.array([0.0, 1.0, 0.0]),
-            size=(extent + 10, 8.0),
-            texture=_make_texture(rng, (extent + 10, 8.0), texel=0.07),
+            size=(extent + 14, 8.0),
+            texture=_make_texture(rng, (extent + 14, 8.0), texel=0.07),
         )
     )
-    planes.append(
-        Plane(
-            origin=np.array([-5.0, -4.0, 6.0]),
-            ex=np.array([0.9, 0.0, 0.45]) / np.linalg.norm([0.9, 0.0, 0.45]),
-            ey=np.array([0.0, 1.0, 0.0]),
-            size=(6.0, 8.0),
-            texture=_make_texture(rng, (6.0, 8.0), texel=0.045),
+    # mid-depth wall band strips (like furniture fronts), alternating segments
+    seg = 3.0
+    x0 = -4.0
+    while x0 < extent + 4.0:
+        if rng.random() < 0.5:
+            zc = rng.uniform(6.0, 7.5)
+            yc = rng.uniform(-3.0, 0.5)
+            planes.append(
+                Plane(
+                    origin=np.array([x0, yc, zc]),
+                    ex=np.array([1.0, 0.0, rng.uniform(-0.08, 0.08)]),
+                    ey=np.array([0.0, 1.0, 0.0]),
+                    size=(seg * rng.uniform(0.6, 1.0), rng.uniform(1.5, 3.0)),
+                    texture=_make_texture(rng, (seg, 2.5), texel=0.05),
+                )
+            )
+        x0 += seg
+    # floating quads, near fronto-parallel
+    n_quads = max(int((extent + 10) * 1.2), 12)
+    for _ in range(n_quads):
+        cx_ = rng.uniform(-3.0, extent + 3.0)
+        cy_ = rng.uniform(-2.2, 2.2)
+        cz_ = rng.uniform(3.5, 8.0)
+        tilt = rng.uniform(-0.4, 0.4, 2)  # <= ~22 deg from fronto-parallel
+        ex = np.array([1.0, 0.0, tilt[0]])
+        ex /= np.linalg.norm(ex)
+        ey = np.array([0.0, 1.0, tilt[1]])
+        ey -= ex * (ey @ ex)
+        ey /= np.linalg.norm(ey)
+        size = (rng.uniform(0.6, 1.4), rng.uniform(0.6, 1.4))
+        planes.append(
+            Plane(
+                origin=np.array([cx_, cy_, cz_]) - ex * size[0] / 2 - ey * size[1] / 2,
+                ex=ex,
+                ey=ey,
+                size=size,
+                texture=_make_texture(rng, size, texel=0.035),
+            )
         )
-    )
-    planes.append(
-        Plane(
-            origin=np.array([-5.0, 2.5, 2.0]),
-            ex=np.array([1.0, 0.0, 0.0]),
-            ey=np.array([0.0, 0.35, 0.94]) / np.linalg.norm([0.0, 0.35, 0.94]),
-            size=(extent + 10, 10.0),
-            texture=_make_texture(rng, (extent + 10, 10.0), texel=0.06),
-        )
-    )
     return planes
 
 
