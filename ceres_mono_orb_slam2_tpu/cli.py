@@ -1,0 +1,99 @@
+"""mono_slam CLI (reference src/main.cc).
+
+Usage:
+    python -m ceres_mono_orb_slam2_tpu.cli --config configs/TUM2.yaml \
+        --images /data/rgbd_dataset_freiburg2_desk [--voc ORBvoc.txt] \
+        [--output-dir out] [--realtime] [--synthetic N]
+
+Mirrors the reference driver: loads the image list, optionally paces playback
+to the timestamps (main.cc:97-106), feeds frames to the system, prints the
+median/mean tracking time at exit (main.cc:111-118), and saves the TUM-format
+keyframe trajectory + map snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native monocular ORB-SLAM")
+    ap.add_argument("--config", required=True, help="camera/ORB YAML (reference configs/*.yaml format)")
+    ap.add_argument("--images", help="dataset directory (TUM/KITTI/EuRoC auto-detected)")
+    ap.add_argument("--voc", help="ORBvoc.txt vocabulary (enables loop closing + relocalization)")
+    ap.add_argument("--train-voc-frames", type=int, default=0,
+                    help="train a vocabulary from the first N frames instead of --voc")
+    ap.add_argument("--output-dir", default=".")
+    ap.add_argument("--realtime", action="store_true", help="pace playback to timestamps")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--synthetic", type=int, default=0, help="run on N synthetic frames instead of --images")
+    ap.add_argument("--localization", action="store_true", help="localization-only mode")
+    ap.add_argument("--viewer", action="store_true", help="save periodic map snapshots")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+    from ceres_mono_orb_slam2_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+
+    if args.synthetic:
+        from ceres_mono_orb_slam2_tpu.utils.synthetic import make_sequence
+
+        seq = make_sequence(n_frames=args.synthetic, fx=config.camera.fx, fy=config.camera.fy)
+        frames = [(seq.images[i], seq.timestamps[i]) for i in range(seq.n_frames)]
+    else:
+        from ceres_mono_orb_slam2_tpu.utils.datasets import load_auto
+
+        ds = load_auto(args.images)
+        n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
+        frames = (ds[i] for i in range(n))
+
+    vocabulary = None
+    if args.voc:
+        from ceres_mono_orb_slam2_tpu.ops.bow import parse_orbvoc_text
+
+        vocabulary = parse_orbvoc_text(args.voc)
+
+    slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer)
+    if args.localization:
+        slam.activate_localization_mode()
+
+    track_times = []
+    last_ts = None
+    n_frames = 0
+    for img, ts in frames:
+        t0 = time.perf_counter()
+        slam.track_monocular(img, ts)
+        dt = time.perf_counter() - t0
+        track_times.append(dt)
+        n_frames += 1
+        if args.realtime and last_ts is not None:
+            gap = ts - last_ts
+            if dt < gap:
+                time.sleep(gap - dt)
+        last_ts = ts
+
+    slam.shutdown()
+    tt = np.sort(np.array(track_times))
+    # reference prints median and mean tracking time at exit (main.cc:111-118)
+    print("-------")
+    print("median tracking time: %.6f" % float(np.median(tt)))
+    print("mean tracking time: %.6f" % float(np.mean(tt)))
+    print("tracked %d frames, state %s, %d keyframes, %d map points"
+          % (n_frames, slam.get_tracking_state(), slam.map.n_keyframes(), slam.map.n_map_points()))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    slam.save_keyframe_trajectory_tum(os.path.join(args.output_dir, "KeyFrameTrajectory.txt"))
+    slam.save_frame_trajectory_tum(os.path.join(args.output_dir, "FrameTrajectory.txt"))
+    slam.save_map(os.path.join(args.output_dir, "map.npz"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -131,6 +131,7 @@ class Map:
         self.keyframe_origins: List[int] = []
         self.big_change_idx = 0
         self.update_lock = threading.RLock()
+        self.keyframe_db = None  # optional BoW database, notified on erase
 
     # ----- creation / deletion -------------------------------------------------
 
@@ -299,6 +300,8 @@ class Map:
             if par is not None:
                 par.children.discard(kf.id)
         kf.bad = True
+        if self.keyframe_db is not None:
+            self.keyframe_db.erase(kf.id, kf.bow_vec)
         del self.keyframes[kf.id]
 
     # ----- map point statistics -------------------------------------------------

@@ -1,0 +1,64 @@
+"""Host-level wrappers assembling map state into device optimizer calls."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.ops import optim
+
+
+def global_bundle_adjustment(m, config, n_iters: int = 20, fixed_kf_ids=None,
+                             stop_flag=None):
+    """Full BA over the whole map (reference GlobalBundleAdjustemnt,
+    CeresOptimizer.cc:49-225), applied in place. The reference writes to
+    Tcw_gba side fields because its GBA runs on a separate thread against a
+    live map (cc:199-223); the sequential pipeline applies directly under the
+    map update lock, which preserves the same observable behavior.
+    """
+    kfs = m.all_keyframes()
+    mps = m.all_map_points()
+    if not kfs or not mps:
+        return False
+    inv_sigma2 = config.orb.inv_level_sigma2
+    kf_slot = {kf.id: i for i, kf in enumerate(kfs)}
+    mp_slot = {mp.id: i for i, mp in enumerate(mps)}
+    obs = []
+    for mp in mps:
+        for kf_id, kidx in mp.observations.items():
+            kf = m.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            obs.append((kf_slot[kf_id], mp_slot[mp.id], kf.kp_und[kidx], inv_sigma2[kf.kp_octave[kidx]]))
+    if len(obs) < 10:
+        return False
+    P, M, O = len(kfs), len(mps), len(obs)
+    R = np.stack([kf.Rcw for kf in kfs])
+    t = np.stack([kf.tcw for kf in kfs])
+    pts = np.stack([mp.pos for mp in mps])
+    op = np.array([o[0] for o in obs], np.int32)
+    oj = np.array([o[1] for o in obs], np.int32)
+    ouv = np.stack([o[2] for o in obs]).astype(np.float32)
+    ow = np.array([o[3] for o in obs], np.float32)
+    fixed = np.zeros(P, bool)
+    if fixed_kf_ids is None:
+        fixed_kf_ids = [min(kf.id for kf in kfs)]
+    for fid in fixed_kf_ids:
+        if fid in kf_slot:
+            fixed[kf_slot[fid]] = True
+    res = optim.bundle_adjustment(
+        jnp.asarray(config.camera.K), jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
+        jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
+        jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(M, bool),
+        iters_huber=0, iters_trimmed=n_iters,
+        stop_flag=None if stop_flag is None else jnp.asarray(stop_flag),
+    )
+    Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
+    for kf in kfs:
+        s = kf_slot[kf.id]
+        if not fixed[s]:
+            kf.Rcw = Rn[s]
+            kf.tcw = tn[s]
+    for mp in mps:
+        mp.pos = ptsn[mp_slot[mp.id]]
+    return True

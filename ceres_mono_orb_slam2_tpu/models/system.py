@@ -45,6 +45,7 @@ class MonoSLAM:
             from ceres_mono_orb_slam2_tpu.models.loopclosing import LoopClosing
 
             self.keyframe_db = KeyFrameDatabase(vocabulary, self.map)
+            self.map.keyframe_db = self.keyframe_db
             self.loop_closer = LoopClosing(config, self.map, self.keyframe_db)
         self.local_mapper = LocalMapping(config, self.map, loop_closer=self.loop_closer)
         self.tracker = Tracking(

@@ -29,6 +29,7 @@ from ceres_mono_orb_slam2_tpu.utils.config import ORBConfig
 
 CELL = 32  # spatial-uniformity cell size (reference uses ~30px windows)
 TOP_PER_CELL = 8  # candidates kept per cell before global rank-major top-N
+N_ANGLE_BINS = 30  # rBRIEF rotation quantization (12 deg, the ORB-paper scheme)
 
 
 class FrameFeatures(NamedTuple):
@@ -108,22 +109,42 @@ class ORBExtractor:
         self.config = config
         self.features_per_level = config.features_per_level
         self.scale_factors = config.scale_factors
-        mx, my = kernels.ic_angle_mask()
-        self._mask_x = jnp.asarray(mx)
-        self._mask_y = jnp.asarray(my)
-        # Pattern as (512, 2) sample points (x, y).
-        pts = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2)
-        self._pattern = jnp.asarray(pts, jnp.float32)  # (512, 2) = (x, y)
+        # Precomputed rotated-pattern flat indices per angle bin: for bin b the
+        # 512 sample taps land at fixed offsets within the 39x39 patch, so the
+        # per-keypoint scattered gather becomes a per-bin SHARED-index row
+        # gather (coalesced on TPU) + a per-keypoint contiguous row select.
+        pts = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2).astype(np.float64)
+        side = 2 * DESC_R + 1
+        tables = []
+        for b in range(N_ANGLE_BINS):
+            th = 2.0 * np.pi * b / N_ANGLE_BINS
+            ca, sa = np.cos(th), np.sin(th)
+            rx = np.round(pts[:, 0] * ca - pts[:, 1] * sa).astype(np.int32)
+            ry = np.round(pts[:, 0] * sa + pts[:, 1] * ca).astype(np.int32)
+            tables.append((ry + DESC_R) * side + (rx + DESC_R))
+        tab = np.stack(tables)  # (A, 512)
+        self._bin_tap_table = jnp.asarray(tab)
+        # one-hot tap matrix: ALL bins' samples as ONE MXU matmul
+        # (TPU gathers serialize; a 15360x1521 constant dot streams at full
+        # MXU rate). bf16 is exact for the 0/1 selector.
+        onehot = np.zeros((N_ANGLE_BINS * 512, side * side), np.float32)
+        onehot[np.arange(N_ANGLE_BINS * 512), tab.reshape(-1)] = 1.0
+        self._tap_onehot = jnp.asarray(onehot, jnp.bfloat16)
         self._extract_jit = functools.lru_cache(maxsize=8)(self._build)
 
     def _build(self, h: int, w: int):
         cfg = self.config
         sizes = _level_sizes(h, w, cfg.n_levels, cfg.scale_factor)
-        mask_x, mask_y, pattern = self._mask_x, self._mask_y, self._pattern
         per_level = [int(n) for n in self.features_per_level]
         scales = [float(s) for s in self.scale_factors]
+        tap_onehot = self._tap_onehot  # (A*512, 1521) bf16
 
         byte_weights = jnp.asarray(1 << np.arange(8, dtype=np.uint32), jnp.uint32)
+        side2 = (2 * DESC_R + 1) ** 2
+        mx, my = kernels.ic_angle_mask()
+        moment_masks = jnp.asarray(
+            np.stack([mx.reshape(-1), my.reshape(-1)], axis=1), jnp.float32
+        )  # (961, 2)
 
         def level_features(img_l, n_keep, lv):
             B, Hl, Wl = img_l.shape
@@ -139,33 +160,52 @@ class ORBExtractor:
             safe_x = jnp.where(valid, xs, m).astype(jnp.int32)
 
             # IC-angle on the raw level image (reference computes orientation
-            # pre-blur, ORBextractor.cc:1068-1070 OctTree path).
+            # pre-blur, ORBextractor.cc:1068-1070): patch gather (block loads
+            # lower well on TPU) + ONE matmul with the circular moment masks.
+            # (A dense moment conv + per-keypoint tap gather looks cheaper on
+            # paper but the conv->gather pair lowers to a serialized
+            # per-element path on this backend: 780ms vs <1ms.)
             p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
                 img_l, safe_y, safe_x
             )  # (B, n, 31, 31)
-            m10 = jnp.sum(p31 * mask_x, axis=(-2, -1))
-            m01 = jnp.sum(p31 * mask_y, axis=(-2, -1))
-            angle = jnp.arctan2(m01, m10)
+            n = p31.shape[1]
+            m_both = jax.lax.dot(
+                p31.reshape(B * n, 31 * 31), moment_masks,
+                precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
+            )  # (B*n, 2)
+            angle = jnp.arctan2(m_both[:, 1], m_both[:, 0]).reshape(B, n)
 
-            # Descriptors from the blurred level image.
+            # rBRIEF from the blurred level image, rotation quantized to
+            # N_ANGLE_BINS (12 deg — the ORB-paper lookup scheme): descriptors
+            # for ALL bins compute as per-bin coalesced row gathers + bit
+            # packing; each keypoint then selects its bin's 32-byte row.
             blurred = kernels.gaussian_blur7(img_l)
             p39 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, DESC_R))(
                 blurred, safe_y, safe_x
             )  # (B, n, 39, 39)
-            pf = p39.reshape(B, -1, (2 * DESC_R + 1) ** 2)
-
-            ca, sa = jnp.cos(angle), jnp.sin(angle)  # (B, n)
-            px, py = pattern[:, 0], pattern[:, 1]  # (512,)
-            # Rotated integer sample offsets (reference computeOrbDescriptor
-            # GET_VALUE: col = round(px*a - py*b), row = round(px*b + py*a)).
-            rx = jnp.round(px[None, None, :] * ca[..., None] - py[None, None, :] * sa[..., None])
-            ry = jnp.round(px[None, None, :] * sa[..., None] + py[None, None, :] * ca[..., None])
-            sidx = ((ry + DESC_R) * (2 * DESC_R + 1) + (rx + DESC_R)).astype(jnp.int32)  # (B, n, 512)
-            samples = jnp.take_along_axis(pf, sidx, axis=-1)  # (B, n, 512)
-            t0 = samples[..., 0::2]
-            t1 = samples[..., 1::2]
-            bits = (t0 < t1).astype(jnp.uint32)  # (B, n, 256)
-            desc = jnp.sum(bits.reshape(B, -1, 32, 8) * byte_weights, axis=-1).astype(jnp.uint8)
+            n = p39.shape[1]
+            pfT = p39.reshape(B * n, side2).T  # (1521, B*n) — taps become rows
+            # ALL bins' taps as one MXU matmul with a constant one-hot matrix
+            # (values up to 255 are exact in bf16's 8-bit mantissa... they are
+            # not for odd values > 256, but image values <= 255 round-trip to
+            # within 1 gray level, matching sensor noise).
+            rows_all = jax.lax.dot(
+                tap_onehot, pfT.astype(jnp.bfloat16), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )  # (A*512, B*n)
+            rows_all = rows_all.reshape(N_ANGLE_BINS, 512, B * n)
+            bits = (rows_all[:, 0::2] < rows_all[:, 1::2]).astype(jnp.uint32)  # (A, 256, B*n)
+            all_bins = jnp.sum(
+                bits.reshape(N_ANGLE_BINS, 32, 8, B * n) * byte_weights[None, None, :, None], axis=2
+            ).astype(jnp.float32)  # (A, 32, B*n)
+            two_pi = 2.0 * np.pi
+            bin_idx = jnp.round(jnp.mod(angle, two_pi) / (two_pi / N_ANGLE_BINS)).astype(jnp.int32)
+            bin_idx = jnp.mod(bin_idx, N_ANGLE_BINS).reshape(B * n)
+            # bin select as a one-hot reduction: uint8 transposes/gathers with
+            # a 32-wide minor dim lower catastrophically on TPU
+            onehot = jax.nn.one_hot(bin_idx, N_ANGLE_BINS, dtype=jnp.float32).T  # (A, B*n)
+            desc = jnp.einsum("abn,an->bn", all_bins, onehot)  # (32, B*n), N stays minor
+            desc = desc.astype(jnp.uint8).T.reshape(B, n, 32)
 
             xy0 = jnp.stack([xs, ys], axis=-1).astype(jnp.float32) * scales[lv]
             octave = jnp.full(ys.shape, lv, jnp.int32)

@@ -1,0 +1,153 @@
+"""BoW layer tests: vocabulary training, text parsing, batched transform,
+L1 scoring, keyframe database queries."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.models.map import Map
+from ceres_mono_orb_slam2_tpu.models.keyframe_database import KeyFrameDatabase
+from ceres_mono_orb_slam2_tpu.ops import bow, matcher
+
+
+def rand_desc(rng, n):
+    return rng.integers(0, 256, (n, 32), dtype=np.uint8)
+
+
+def test_train_and_transform(rng):
+    descs = rand_desc(rng, 600)
+    voc = bow.train_vocabulary(descs, k=6, levels=3, seed=0)
+    assert voc.n_words > 20
+    transform = bow.make_transform_fn(voc)
+    bits = matcher.unpack_bits_pm1(jnp.asarray(descs[:64]))
+    wids, path = transform(bits, jnp.ones(64, bool))
+    wids = np.asarray(wids)
+    assert (wids >= 0).all() and (wids < voc.n_words).all()
+    # identical descriptors -> identical words; deterministic
+    wids2, _ = transform(bits, jnp.ones(64, bool))
+    np.testing.assert_array_equal(wids, np.asarray(wids2))
+    # invalid slots -> -1
+    wids3, _ = transform(bits, jnp.zeros(64, bool))
+    assert (np.asarray(wids3) == -1).all()
+
+
+def test_transform_groups_similar_descriptors(rng):
+    """A descriptor 2 bits away from a training descriptor should usually land
+    in the same word as that descriptor."""
+    descs = rand_desc(rng, 500)
+    voc = bow.train_vocabulary(descs, k=8, levels=2, seed=1)
+    transform = bow.make_transform_fn(voc)
+    base = descs[:100]
+    # flip 2 random bits in each
+    mutated = base.copy()
+    for i in range(100):
+        for _ in range(2):
+            b = rng.integers(0, 256)
+            mutated[i, b // 8] ^= 1 << (b % 8)
+    wb, _ = transform(matcher.unpack_bits_pm1(jnp.asarray(base)), jnp.ones(100, bool))
+    wm, _ = transform(matcher.unpack_bits_pm1(jnp.asarray(mutated)), jnp.ones(100, bool))
+    same = (np.asarray(wb) == np.asarray(wm)).mean()
+    assert same > 0.8
+
+
+def test_orbvoc_text_roundtrip(rng, tmp_path):
+    """Write a trained vocabulary in the standard ORBvoc.txt format and parse
+    it back: transforms must agree."""
+    descs = rand_desc(rng, 300)
+    voc = bow.train_vocabulary(descs, k=5, levels=2, seed=2)
+    path = tmp_path / "voc.txt"
+    # serialize: header + one line per node (skip root), parent-major order
+    lines = [f"{voc.k} {voc.levels} 0 0"]
+    remap = {0: 0}
+    order = []
+
+    def visit(node):
+        for c in voc.children[node]:
+            if c < 0:
+                continue
+            order.append((node, int(c)))
+            visit(int(c))
+
+    visit(0)
+    for parent, node in order:
+        remap[node] = len(remap)
+    for parent, node in order:
+        d = " ".join(str(int(x)) for x in voc.node_desc[node])
+        wid = voc.word_id[node]
+        weight = voc.word_weight[wid] if wid >= 0 else 0.0
+        lines.append(f"{remap[parent]} {int(voc.is_leaf[node])} {d} {weight}")
+    path.write_text("\n".join(lines))
+
+    voc2 = bow.parse_orbvoc_text(str(path))
+    assert voc2.n_words == voc.n_words
+    t1 = bow.make_transform_fn(voc)
+    t2 = bow.make_transform_fn(voc2)
+    q = rand_desc(rng, 64)
+    bits = matcher.unpack_bits_pm1(jnp.asarray(q))
+    w1, _ = t1(bits, jnp.ones(64, bool))
+    w2, _ = t2(bits, jnp.ones(64, bool))
+    # word ids are renumbered; compare PARTITIONS (same grouping of queries)
+    a, b = np.asarray(w1), np.asarray(w2)
+    for i in range(64):
+        for j in range(i + 1, 64):
+            assert (a[i] == a[j]) == (b[i] == b[j])
+
+
+def test_l1_score_properties(rng):
+    v1 = {1: 0.5, 2: 0.5}
+    assert abs(bow.l1_score(v1, v1) - 1.0) < 1e-9
+    v2 = {3: 1.0}
+    assert abs(bow.l1_score(v1, v2)) < 1e-9  # disjoint -> 0
+    v3 = {1: 1.0}
+    s = bow.l1_score(v1, v3)
+    assert 0.0 < s < 1.0
+
+
+class _FakeKF:
+    def __init__(self, kf_id, desc, neighbors=()):
+        self.id = kf_id
+        self.desc = desc
+        self.kp_valid = np.ones(len(desc), bool)
+        self.bad = False
+        self.bow_vec = None
+        self.covisible = {n: 30 for n in neighbors}
+
+    def best_covisible(self, n):
+        return list(self.covisible)[:n]
+
+
+def test_keyframe_database_queries(rng):
+    descs = rand_desc(rng, 800)
+    voc = bow.train_vocabulary(descs, k=8, levels=3, seed=3)
+    m = Map()
+    db = KeyFrameDatabase(voc, m)
+    # 6 keyframes with distinct descriptor sets; kf 5 shares kf 1's descriptors
+    base_sets = [rand_desc(rng, 120) for _ in range(5)]
+    kfs = {}
+    for i in range(5):
+        kfs[i] = _FakeKF(i, base_sets[i], neighbors=[j for j in (i - 1, i + 1) if 0 <= j < 5])
+        m.keyframes[i] = kfs[i]
+        db.add(kfs[i])
+    # query frame re-observing kf 1's content (with a few bit flips)
+    q = base_sets[1].copy()
+    for i in range(len(q)):
+        b = rng.integers(0, 256)
+        q[i, b // 8] ^= 1 << (b % 8)
+
+    class _F:
+        desc = q
+        kp_valid = np.ones(len(q), bool)
+
+    cands = db.detect_relocalization_candidates(_F())
+    assert cands, "no relocalization candidates"
+    assert cands[0] == 1
+
+    # loop candidates for a new KF with kf-1 content, not covisible with it
+    kf_new = _FakeKF(10, q, neighbors=[4])
+    m.keyframes[10] = kf_new
+    loops = db.detect_loop_candidates(kf_new, min_score=0.01)
+    assert 1 in loops
+    # covisible keyframes must never be candidates
+    kf_new2 = _FakeKF(11, q, neighbors=[1])
+    m.keyframes[11] = kf_new2
+    loops2 = db.detect_loop_candidates(kf_new2, min_score=0.01)
+    assert 1 not in loops2

@@ -1,0 +1,217 @@
+"""Loop-closing test on a hand-built drifted map: a circular keyframe chain
+with accumulated scale/translation drift, a known loop pair, and shared
+map-point observations. Verifies Sim3 computation + loop correction +
+essential-graph optimization close the gap."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ceres_mono_orb_slam2_tpu.models.loopclosing import LoopClosing
+from ceres_mono_orb_slam2_tpu.models.map import Map
+from ceres_mono_orb_slam2_tpu.ops import lie
+from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig
+
+
+class _KFStub:
+    """Minimal KeyFrame-compatible object for loop-closing tests."""
+
+    def __init__(self, kf_id, Rcw, tcw, kp_und, kp_octave, kp_angle, desc, mp_ids):
+        self.id = kf_id
+        self.frame_id = kf_id
+        self.timestamp = float(kf_id)
+        self.Rcw = Rcw.astype(np.float32)
+        self.tcw = tcw.astype(np.float32)
+        self.kp_und = kp_und.astype(np.float32)
+        self.kp_xy = self.kp_und
+        self.kp_octave = kp_octave
+        self.kp_angle = kp_angle
+        self.kp_response = np.ones(len(kp_und), np.float32)
+        self.desc = desc
+        self.kp_valid = np.ones(len(kp_und), bool)
+        self.mp_ids = mp_ids
+        self.covisible = {}
+        self.ordered_neighbors = []
+        self.parent = None
+        self.children = set()
+        self.loop_edges = set()
+        self.bad = False
+        self.not_erase = False
+        self.to_be_erased = False
+        self.bow_vec = None
+        self.Tcw_gba = None
+        self.gba_for_kf = -1
+
+    def camera_center(self):
+        return (-self.Rcw.T @ self.tcw).astype(np.float32)
+
+    def best_covisible(self, n):
+        return self.ordered_neighbors[:n]
+
+
+@pytest.fixture()
+def drifted_loop_map(rng):
+    """World: ring of landmarks; trajectory: circle revisiting the start.
+    Estimated poses carry cumulative scale drift so KF N lands away from KF 0
+    despite observing the same landmarks."""
+    cfg = SlamConfig(camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0), orb=ORBConfig())
+    m = Map()
+    P = 14
+    n_pts_per = 60
+
+    # ground-truth circular poses; the last pose returns exactly to the start
+    Rg, tg = [], []
+    for k in range(P):
+        ang = 2 * np.pi * k / (P - 1)
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray(np.array([0, ang, 0], np.float32))))
+        c = np.array([3 * np.sin(ang), 0, 3 * (1 - np.cos(ang))], np.float32)
+        Rg.append(Rwc.T.astype(np.float32))
+        tg.append((-Rwc.T @ c).astype(np.float32))
+
+    # landmarks in front of each GT pose; consecutive KFs share half of them.
+    pts_per_kf = []
+    descs_per_kf = []
+    for k in range(P):
+        Rwc = Rg[k].T
+        c = -Rwc @ tg[k]
+        local = np.stack(
+            [rng.uniform(-1.5, 1.5, n_pts_per), rng.uniform(-1, 1, n_pts_per), rng.uniform(4, 7, n_pts_per)],
+            -1,
+        ).astype(np.float32)
+        pts_per_kf.append((local @ Rwc.T) + c)
+        descs_per_kf.append(rng.integers(0, 256, (n_pts_per, 32), dtype=np.uint8))
+
+    # estimated poses: integrate GT relative motions with per-step scale
+    # shrink (classic mono scale drift), so the loop does NOT close.
+    Re, te = [Rg[0].copy()], [tg[0].copy()]
+    for k in range(1, P):
+        R_rel = Rg[k] @ Rg[k - 1].T
+        t_rel = (tg[k] - R_rel @ tg[k - 1]) * (0.97 ** k)  # growing scale loss
+        Re.append((R_rel @ Re[k - 1]).astype(np.float32))
+        te.append((R_rel @ te[k - 1] + t_rel).astype(np.float32))
+
+    def project(Rcw, tcw, pts):
+        X = pts @ Rcw.T + tcw
+        z = np.maximum(X[:, 2], 1e-6)
+        return np.stack([500 * X[:, 0] / z + 320, 500 * X[:, 1] / z + 240], -1), X[:, 2]
+
+    # build keyframes: each KF observes its own landmarks + previous KF's
+    # (shared), with keypoints projected through the DRIFTED geometry so the
+    # map is self-consistent (points placed by the drifted poses).
+    kf_mps = {}
+    for k in range(P):
+        own_world = pts_per_kf[k]
+        # place the points consistently with the drifted pose: keep the
+        # camera-frame coords, re-anchor at the drifted pose
+        Rwc_e = Re[k].T
+        ce = -Rwc_e @ te[k]
+        Xc = (own_world @ Rg[k].T) + tg[k]  # GT camera coords
+        own_drifted = (Xc @ Re[k]) + ce  # world coords via drifted pose
+        uv_own, _ = project(Re[k], te[k], own_drifted)
+        mp_ids = np.full(2 * n_pts_per, -1, np.int64)
+        kps = [uv_own]
+        descs = [descs_per_kf[k]]
+        mps_this = []
+        for j in range(n_pts_per):
+            mp = m.new_map_point(own_drifted[j], descs_per_kf[k][j], k)
+            mps_this.append(mp.id)
+            mp_ids[j] = mp.id
+        # shared: previous KF's points projected into this KF
+        if k > 0:
+            prev_ids = kf_mps[k - 1][:n_pts_per]
+            prev_pos = np.stack([m.map_points[i].pos for i in prev_ids])
+            uv_prev, _ = project(Re[k], te[k], prev_pos)
+            kps.append(uv_prev)
+            descs.append(np.stack([m.map_points[i].descriptor for i in prev_ids]))
+            mp_ids[n_pts_per:] = prev_ids
+            mps_this.extend(prev_ids)
+        else:
+            kps.append(np.zeros((n_pts_per, 2), np.float32))
+            descs.append(np.zeros((n_pts_per, 32), np.uint8))
+        kf = _KFStub(
+            k, Re[k], te[k], np.concatenate(kps), np.zeros(2 * n_pts_per, np.int32),
+            np.zeros(2 * n_pts_per, np.float32), np.concatenate(descs), mp_ids,
+        )
+        m.keyframes[k] = kf
+        m.next_kf_id = k + 1
+        kf_mps[k] = mps_this
+        for i in np.nonzero(mp_ids >= 0)[0]:
+            m.map_points[int(mp_ids[i])].observations[k] = int(i)
+        if k > 0:
+            kf.parent = k - 1
+            m.keyframes[k - 1].children.add(k)
+            kf.covisible = {k - 1: n_pts_per}
+            kf.ordered_neighbors = [k - 1]
+            m.keyframes[k - 1].covisible[k] = n_pts_per
+            m.keyframes[k - 1].ordered_neighbors.append(k)
+
+    # the LAST KF also re-observes KF 0's landmarks (the physical loop):
+    # keypoints measured where GT geometry puts them in the last GT pose.
+    last = m.keyframes[P - 1]
+    uv_loop, z = project(Rg[P - 1], tg[P - 1], pts_per_kf[0])
+    vis = (z > 0.5) & (uv_loop[:, 0] > 0) & (uv_loop[:, 0] < 640) & (uv_loop[:, 1] > 0) & (uv_loop[:, 1] < 480)
+    return cfg, m, kf_mps, uv_loop, vis, Rg, tg, pts_per_kf
+
+
+def test_loop_correction_closes_gap(drifted_loop_map, rng):
+    cfg, m, kf_mps, uv_loop, vis, Rg, tg, pts_per_kf = drifted_loop_map
+    P = m.n_keyframes()
+    last = m.keyframes[P - 1]
+    first = m.keyframes[0]
+
+    # gap before: camera centers of first/last should coincide-ish in GT
+    gt_gap = np.linalg.norm(
+        (-Rg[P - 1].T @ tg[P - 1]) - (-Rg[0].T @ tg[0])
+    )
+    gap_before = np.linalg.norm(last.camera_center() - first.camera_center())
+
+    lc = LoopClosing(cfg, m, keyframe_db=None)
+    # hand the verified loop to the correction stage: matched pairs between
+    # last KF keypoints (indices into its own landmark block) and KF0's points
+    n_pts_per = 60
+    # compute Sim3 via the solver from the shared physical points:
+    X1 = []  # in last KF camera (measured = GT geometry)
+    X2 = []  # in first KF camera (map = drifted geometry)
+    uv1 = []
+    uv2 = []
+    pair_kp = []
+    for j in np.nonzero(vis)[0]:
+        Xc_last_gt = Rg[P - 1] @ pts_per_kf[0][j] + tg[P - 1]
+        mp0 = m.map_points[kf_mps[0][j]]
+        Xc_first = first.Rcw @ mp0.pos + first.tcw
+        X1.append(Xc_last_gt)
+        X2.append(Xc_first)
+        uv1.append(uv_loop[j])
+        uv2.append(first.kp_und[j])
+        pair_kp.append(j)
+    X1, X2 = np.stack(X1).astype(np.float32), np.stack(X2).astype(np.float32)
+    uv1 = np.stack(uv1).astype(np.float32)
+    uv2 = np.stack(uv2).astype(np.float32)
+
+    import jax
+    from ceres_mono_orb_slam2_tpu.ops import sim3solver, sim3opt
+
+    res = sim3solver.ransac_sim3(
+        jax.random.PRNGKey(0), lc.jK, lc.jK, jnp.asarray(X1), jnp.asarray(X2),
+        jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(len(X1), jnp.float32), jnp.ones(len(X1), jnp.float32), jnp.ones(len(X1), bool),
+    )
+    assert bool(res.success)
+    opt = sim3opt.optimize_sim3(
+        lc.jK, lc.jK, jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(len(X1), jnp.float32), jnp.ones(len(X1), jnp.float32), res.inliers,
+        res.R, res.t, res.s,
+    )
+    assert int(opt.n_inliers) >= 20
+    R12, t12, s12 = np.asarray(opt.R), np.asarray(opt.t), float(opt.s)
+    Rcw_s = R12 @ first.Rcw
+    tcw_s = s12 * (R12 @ first.tcw) + t12
+
+    # loop point associations: last-KF keypoint slot -> KF0 map point
+    loop_points = {}
+    lc._correct_loop(last, first.id, (Rcw_s.astype(np.float32), tcw_s.astype(np.float32), s12), loop_points)
+
+    gap_after = np.linalg.norm(m.keyframes[P - 1].camera_center() - m.keyframes[0].camera_center())
+    assert gap_before > 5 * gt_gap + 0.1  # the test is nontrivial
+    assert gap_after < 0.5 * gap_before, (gap_before, gap_after)
+    assert lc.n_loops_closed == 1
