@@ -45,7 +45,32 @@ def main(argv=None):
     if args.synthetic:
         from ceres_mono_orb_slam2_tpu.utils.synthetic import make_sequence
 
-        seq = make_sequence(n_frames=args.synthetic, fx=config.camera.fx, fy=config.camera.fy)
+        # the synthetic renderer is an ideal pinhole with the principal point
+        # at the image center: align the config's camera to what is rendered
+        for k in ("k1", "k2", "p1", "p2", "k3"):
+            setattr(config.camera, k, 0.0)
+        config.camera.cx, config.camera.cy = 320.0, 240.0
+        # the synthetic world's level-0 corner density needs ~1500 features to
+        # clear the reference's 100-match initialization gate (real datasets
+        # with the configured budget are unaffected)
+        import dataclasses as _dc
+
+        from ceres_mono_orb_slam2_tpu.utils.config import SlamConfig as _SC, StaticShapes as _SS
+
+        n_feat = max(config.orb.n_features, 1500)
+        # demo-sized BA/matching buffers: the production defaults (96-KF
+        # windows, 32k observations) take minutes of XLA compile time that a
+        # short demo never amortizes
+        config = _SC(
+            camera=config.camera,
+            orb=_dc.replace(config.orb, n_features=n_feat),
+            viewer=config.viewer,
+            shapes=_SS(max_local_points=4096, max_local_keyframes=12,
+                       max_ba_points=2048, max_ba_obs=8192),
+        )
+        seq = make_sequence(
+            n_frames=args.synthetic, fx=config.camera.fx, fy=config.camera.fy, step=0.12
+        )
         frames = [(seq.images[i], seq.timestamps[i]) for i in range(seq.n_frames)]
     else:
         from ceres_mono_orb_slam2_tpu.utils.datasets import load_auto

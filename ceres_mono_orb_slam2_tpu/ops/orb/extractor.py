@@ -146,7 +146,10 @@ class ORBExtractor:
             np.stack([mx.reshape(-1), my.reshape(-1)], axis=1), jnp.float32
         )  # (961, 2)
 
-        def level_features(img_l, n_keep, lv):
+        def level_keypoints_and_patches(img_l, n_keep, lv):
+            """Per-level detection + patch gathers; angle/descriptor math runs
+            ONCE over all levels' concatenated patches (per-level matmul
+            launches do not amortize their padding/fusion overheads)."""
             B, Hl, Wl = img_l.shape
             score = kernels.nms3(kernels.fast_score_map(img_l))
             # Zero out the EDGE margin so every kept keypoint admits full
@@ -159,57 +162,22 @@ class ORBExtractor:
             safe_y = jnp.where(valid, ys, m).astype(jnp.int32)
             safe_x = jnp.where(valid, xs, m).astype(jnp.int32)
 
-            # IC-angle on the raw level image (reference computes orientation
-            # pre-blur, ORBextractor.cc:1068-1070): patch gather (block loads
-            # lower well on TPU) + ONE matmul with the circular moment masks.
-            # (A dense moment conv + per-keypoint tap gather looks cheaper on
-            # paper but the conv->gather pair lowers to a serialized
-            # per-element path on this backend: 780ms vs <1ms.)
+            # raw patches for IC-angle (reference computes orientation
+            # pre-blur, ORBextractor.cc:1068-1070), blurred for rBRIEF.
+            # Patch "gathers" are contiguous row gathers + one-hot column
+            # matmuls (kernels.gather_patches): per-element 2D gathers
+            # serialize on TPU (~0.3% of HBM bandwidth).
             p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
                 img_l, safe_y, safe_x
             )  # (B, n, 31, 31)
-            n = p31.shape[1]
-            m_both = jax.lax.dot(
-                p31.reshape(B * n, 31 * 31), moment_masks,
-                precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
-            )  # (B*n, 2)
-            angle = jnp.arctan2(m_both[:, 1], m_both[:, 0]).reshape(B, n)
-
-            # rBRIEF from the blurred level image, rotation quantized to
-            # N_ANGLE_BINS (12 deg — the ORB-paper lookup scheme): descriptors
-            # for ALL bins compute as per-bin coalesced row gathers + bit
-            # packing; each keypoint then selects its bin's 32-byte row.
             blurred = kernels.gaussian_blur7(img_l)
             p39 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, DESC_R))(
                 blurred, safe_y, safe_x
             )  # (B, n, 39, 39)
-            n = p39.shape[1]
-            pfT = p39.reshape(B * n, side2).T  # (1521, B*n) — taps become rows
-            # ALL bins' taps as one MXU matmul with a constant one-hot matrix
-            # (values up to 255 are exact in bf16's 8-bit mantissa... they are
-            # not for odd values > 256, but image values <= 255 round-trip to
-            # within 1 gray level, matching sensor noise).
-            rows_all = jax.lax.dot(
-                tap_onehot, pfT.astype(jnp.bfloat16), precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )  # (A*512, B*n)
-            rows_all = rows_all.reshape(N_ANGLE_BINS, 512, B * n)
-            bits = (rows_all[:, 0::2] < rows_all[:, 1::2]).astype(jnp.uint32)  # (A, 256, B*n)
-            all_bins = jnp.sum(
-                bits.reshape(N_ANGLE_BINS, 32, 8, B * n) * byte_weights[None, None, :, None], axis=2
-            ).astype(jnp.float32)  # (A, 32, B*n)
-            two_pi = 2.0 * np.pi
-            bin_idx = jnp.round(jnp.mod(angle, two_pi) / (two_pi / N_ANGLE_BINS)).astype(jnp.int32)
-            bin_idx = jnp.mod(bin_idx, N_ANGLE_BINS).reshape(B * n)
-            # bin select as a one-hot reduction: uint8 transposes/gathers with
-            # a 32-wide minor dim lower catastrophically on TPU
-            onehot = jax.nn.one_hot(bin_idx, N_ANGLE_BINS, dtype=jnp.float32).T  # (A, B*n)
-            desc = jnp.einsum("abn,an->bn", all_bins, onehot)  # (32, B*n), N stays minor
-            desc = desc.astype(jnp.uint8).T.reshape(B, n, 32)
 
             xy0 = jnp.stack([xs, ys], axis=-1).astype(jnp.float32) * scales[lv]
             octave = jnp.full(ys.shape, lv, jnp.int32)
-            return xy0, resp, angle, octave, desc, valid
+            return xy0, resp, octave, valid, p31, p39
 
         def extract(images):
             images = images.astype(jnp.float32)
@@ -218,14 +186,51 @@ class ORBExtractor:
             for lv in range(cfg.n_levels):
                 if lv > 0:
                     img_l = kernels.resize_bilinear(img_l, sizes[lv][0], sizes[lv][1])
-                outs.append(level_features(img_l, per_level[lv], lv))
+                outs.append(level_keypoints_and_patches(img_l, per_level[lv], lv))
+            B = images.shape[0]
             xy = jnp.concatenate([o[0] for o in outs], axis=1)
             resp = jnp.concatenate([o[1] for o in outs], axis=1)
-            angle = jnp.concatenate([o[2] for o in outs], axis=1)
-            octave = jnp.concatenate([o[3] for o in outs], axis=1)
-            desc = jnp.concatenate([o[4] for o in outs], axis=1)
-            valid = jnp.concatenate([o[5] for o in outs], axis=1)
-            return FrameFeatures(xy=xy, response=resp, angle=angle, octave=octave, desc=desc, valid=valid)
+            octave = jnp.concatenate([o[2] for o in outs], axis=1)
+            valid = jnp.concatenate([o[3] for o in outs], axis=1)
+            p31 = jnp.concatenate([o[4] for o in outs], axis=1)  # (B, N, 31, 31)
+            p39 = jnp.concatenate([o[5] for o in outs], axis=1)  # (B, N, 39, 39)
+            N = p31.shape[1]
+
+            # IC-angle: one moment matmul for the whole frame. (A dense moment
+            # conv + per-keypoint taps looks cheaper on paper but the
+            # conv->gather pair lowers to a serialized per-element path on
+            # this backend: 780ms vs <1ms.)
+            m_both = jax.lax.dot(
+                p31.reshape(B * N, 31 * 31), moment_masks,
+                precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
+            )  # (B*N, 2)
+            angle = jnp.arctan2(m_both[:, 1], m_both[:, 0])
+
+            # rBRIEF, rotation quantized to N_ANGLE_BINS (12 deg, the
+            # ORB-paper lookup scheme): ALL bins' taps as ONE MXU matmul with
+            # a constant one-hot matrix (bf16 is exact for 8-bit content),
+            # bit packing, then a one-hot bin select (gathers/transposes with
+            # a 32-wide minor dim lower catastrophically on TPU).
+            pfT = p39.reshape(B * N, side2).T  # (1521, B*N)
+            rows_all = jax.lax.dot(
+                tap_onehot, pfT.astype(jnp.bfloat16), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            ).reshape(N_ANGLE_BINS, 512, B * N)
+            bits = (rows_all[:, 0::2] < rows_all[:, 1::2]).astype(jnp.uint32)  # (A, 256, B*N)
+            all_bins = jnp.sum(
+                bits.reshape(N_ANGLE_BINS, 32, 8, B * N) * byte_weights[None, None, :, None], axis=2
+            ).astype(jnp.float32)  # (A, 32, B*N)
+            two_pi = 2.0 * np.pi
+            bin_idx = jnp.round(jnp.mod(angle, two_pi) / (two_pi / N_ANGLE_BINS)).astype(jnp.int32)
+            bin_idx = jnp.mod(bin_idx, N_ANGLE_BINS)
+            onehot = jax.nn.one_hot(bin_idx, N_ANGLE_BINS, dtype=jnp.float32).T  # (A, B*N)
+            desc = jnp.einsum("abn,an->bn", all_bins, onehot)  # (32, B*N)
+            desc = desc.astype(jnp.uint8).T.reshape(B, N, 32)
+
+            return FrameFeatures(
+                xy=xy, response=resp, angle=angle.reshape(B, N), octave=octave,
+                desc=desc, valid=valid,
+            )
 
         return jax.jit(extract)
 

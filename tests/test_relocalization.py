@@ -1,0 +1,47 @@
+"""Relocalization (kidnap) test: build a map with a BoW vocabulary, force
+tracking LOST, re-feed a previously-seen view, and verify the BoW database +
+PnP RANSAC + pose-opt pipeline recovers the pose (the reference's
+fr2_360_kidnap stress scenario)."""
+
+import numpy as np
+import pytest
+
+from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+from ceres_mono_orb_slam2_tpu.models.tracking import State
+from ceres_mono_orb_slam2_tpu.ops import bow
+from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig, StaticShapes
+from ceres_mono_orb_slam2_tpu.utils.synthetic import make_sequence
+
+
+def test_kidnap_relocalization(rng):
+    seq = make_sequence(n_frames=11, seed=11, motion="strafe", step=0.12)
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        orb=ORBConfig(n_features=1500),
+        shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
+                            max_ba_points=2048, max_ba_obs=8192),
+    )
+    # vocabulary trained on descriptors of the first frame
+    from ceres_mono_orb_slam2_tpu.ops.orb import ORBExtractor
+
+    feats = ORBExtractor(cfg.orb).extract(seq.images[0])
+    voc = bow.train_vocabulary(np.asarray(feats.desc)[0], k=8, levels=3, seed=0)
+
+    slam = MonoSLAM(cfg, vocabulary=voc)
+    poses = {}
+    for k in range(seq.n_frames):
+        T = slam.track_monocular(seq.images[k], seq.timestamps[k])
+        if T is not None:
+            poses[k] = T
+    assert slam.get_tracking_state() == "OK"
+    assert slam.keyframe_db is not None and slam.keyframe_db.inverted, "BoW index empty"
+
+    # kidnap: blind the tracker, then show it frame 5's view again
+    slam.tracker.state = State.LOST
+    slam.tracker.velocity = None
+    T = slam.track_monocular(seq.images[5], seq.timestamps[-1] + 1.0)
+    assert T is not None, "relocalization failed"
+    assert slam.get_tracking_state() == "OK"
+    c_reloc = -T[:3, :3].T @ T[:3, 3]
+    c_orig = -poses[5][:3, :3].T @ poses[5][:3, 3]
+    assert np.linalg.norm(c_reloc - c_orig) < 0.02, (c_reloc, c_orig)
