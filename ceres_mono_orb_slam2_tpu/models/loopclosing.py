@@ -248,11 +248,16 @@ class LoopClosing:
                 if kfi_id == kf.id:
                     corrected[kfi_id] = (Rcor, tcor, scor)
                 else:
-                    # T_i_cur = T_iw * T_wc ; S_i = T_i_cur * S_cur
+                    # T_i_cur = T_iw * T_wc ; S_i = S_ic * S_cur with S_ic of
+                    # scale 1 (reference LoopClosing.cc:454-459). Sim3
+                    # composition (R1,t1,s1)*(R2,t2,s2) = (R1R2, s1 R1 t2 + t1,
+                    # s1 s2); the LEFT element has scale 1, so the composed
+                    # translation is Ric@tcor + tic and only the composed
+                    # scale carries scor.
                     Ric = kfi.Rcw @ kf.Rcw.T
                     tic = kfi.tcw - Ric @ kf.tcw
                     Rn = Ric @ Rcor
-                    tn = scor * (Ric @ tcor) + tic
+                    tn = Ric @ tcor + tic
                     corrected[kfi_id] = (Rn.astype(np.float32), tn.astype(np.float32), scor)
 
             # correct map points observed by the connected group (:446-523)
@@ -297,9 +302,10 @@ class LoopClosing:
 
             self._optimize_essential_graph(kf, match_kf_id, corrected)
 
-        # full-map BA (reference RunGlobalBundleAdjustment, 20 iters at :656)
+        # full-map BA (reference RunGlobalBundleAdjustment, 50 iters,
+        # LoopClosing.cc:655-656)
         log.info("Starting Global Bundle Adjustment")
-        global_bundle_adjustment(m, self.config, n_iters=20)
+        global_bundle_adjustment(m, self.config, n_iters=50)
         log.info("Global Bundle Adjustment finished")
         self.last_loop_kf_id = kf.id
         self.n_loops_closed += 1

@@ -53,7 +53,7 @@ def _dlt_pose(pts3d, uv_norm, weights):
     U = U.at[..., :, 2].multiply(jnp.where(detR < 0, -1.0, 1.0)[..., None])
     S = S.at[..., 2].multiply(jnp.where(detR < 0, -1.0, 1.0))
     R = U @ Vt
-    scale = jnp.mean(S, axis=-1)
+    scale = jnp.exp(jnp.mean(jnp.log(jnp.maximum(S, 1e-12)), axis=-1))
     t = P[..., :, 3] / jnp.maximum(scale, 1e-12)[..., None]
     return R, t
 

@@ -202,16 +202,20 @@ def check_rt(R, t, K, xy1, xy2, valid, th2: float = 4.0, sigma2: float = 1.0):
     e1 = reproj_err(P1b, X, xy1b)
     e2 = reproj_err(P2b, X, xy2b)
     ok_rep = (e1 <= th2 * sigma2) & (e2 <= th2 * sigma2)
-    good = valid & finite & ok_depth & (~low_par) & ok_rep
-    n_good = jnp.sum(good.astype(jnp.int32), axis=-1)
+    # Reference CheckRT (Initializer.cc:819-825,848-856): the depth-behind
+    # test is skipped for near-infinite points (cosParallax >= 0.99998),
+    # and such points still count toward nGood when reprojection passes;
+    # they are only excluded from the triangulated-good (vbGood) mask.
+    counted = valid & finite & ok_rep & (ok_depth | low_par)
+    good = counted & (~low_par)
+    n_good = jnp.sum(counted.astype(jnp.int32), axis=-1)
 
-    # parallax statistic (reference: sort good cos ascending, take index
-    # min(50, n)-1 — i.e. the 50th-largest parallax angle, or the smallest
-    # angle when fewer than 50 good points).
-    kk = min(50, cos_par.shape[-1])
-    cp = jnp.where(good, cos_par, 2.0)
+    # parallax statistic (reference: sort counted cos ascending, take index
+    # min(50, n-1) — Initializer.cc:858-863).
+    kk = min(51, cos_par.shape[-1])
+    cp = jnp.where(counted, cos_par, 2.0)
     asc = -jax.lax.top_k(-cp, kk)[0]  # ascending smallest-kk cos values
-    idx = jnp.clip(jnp.minimum(n_good, kk) - 1, 0, kk - 1)
+    idx = jnp.clip(jnp.minimum(n_good - 1, 50), 0, kk - 1)
     cos_stat = jnp.take_along_axis(asc, idx[..., None], axis=-1)[..., 0]
     parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_stat, -1.0, 1.0)))
     parallax_deg = jnp.where(n_good > 0, parallax_deg, 0.0)
