@@ -21,4 +21,18 @@ import jax as _jax
 # back into lower precision explicitly at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused SLAM pipelines take minutes to
+# compile (especially through the remote-TPU tunnel); cache compiled
+# executables on disk so repeated runs skip XLA entirely. Opt out with
+# CERES_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("CERES_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
+
 from ceres_mono_orb_slam2_tpu.utils.config import SlamConfig, load_config  # noqa: F401

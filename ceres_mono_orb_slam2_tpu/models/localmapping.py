@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.models.map import Map, KeyFrame
 from ceres_mono_orb_slam2_tpu.ops import matcher, optim, twoview
+from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
 
 log = logging.getLogger(__name__)
 
@@ -43,6 +44,7 @@ class LocalMapping:
         self.abort_ba = False
         self._accepting = True
         self.n_local_ba = 0
+        self.n_ba_aborted = 0
 
     # ------------------------------------------------------------- interface
 
@@ -191,13 +193,15 @@ class LocalMapping:
             # into monocular scale runaway)
             P1 = np.concatenate([R1, t1[:, None]], 1)
             P2 = np.concatenate([R2, t2[:, None]], 1)
+            nb = bucket(len(i1))  # pad to a shape bucket: avoids per-call recompiles
             X = np.asarray(
                 twoview.triangulate_dlt(
-                    jnp.asarray(np.broadcast_to(P1, (len(i1), 3, 4)).astype(np.float32)),
-                    jnp.asarray(np.broadcast_to(P2, (len(i1), 3, 4)).astype(np.float32)),
-                    jnp.asarray(xn1[:, :2].astype(np.float32)), jnp.asarray(xn2[:, :2].astype(np.float32)),
+                    jnp.asarray(np.broadcast_to(P1, (nb, 3, 4)).astype(np.float32)),
+                    jnp.asarray(np.broadcast_to(P2, (nb, 3, 4)).astype(np.float32)),
+                    jnp.asarray(pad_rows(xn1[:, :2].astype(np.float32), nb)),
+                    jnp.asarray(pad_rows(xn2[:, :2].astype(np.float32), nb)),
                 )
-            ).astype(np.float64)
+            ).astype(np.float64)[: len(i1)]
             good = (cos_par > 0) & (cos_par < 0.9998)
             z1v = (X @ R1.T + t1)[:, 2]
             z2v = (X @ R2.T + t2)[:, 2]
@@ -283,11 +287,14 @@ class LocalMapping:
         if not mp_ids:
             return
         M = len(mp_ids)
-        pos = np.stack([m.map_points[mid].pos for mid in mp_ids])
-        desc = np.stack([m.map_points[mid].descriptor for mid in mp_ids])
-        mind = np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32)
-        maxd = np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32)
-        normal = np.stack([m.map_points[mid].normal for mid in mp_ids])
+        Mb = bucket(M)  # shape bucket: avoid per-call recompiles
+        pos = pad_rows(np.stack([m.map_points[mid].pos for mid in mp_ids]), Mb)
+        desc = pad_rows(np.stack([m.map_points[mid].descriptor for mid in mp_ids]), Mb)
+        mind = pad_rows(np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32), Mb)
+        maxd = pad_rows(np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32), Mb)
+        normal = pad_rows(np.stack([m.map_points[mid].normal for mid in mp_ids]), Mb)
+        mvalid = np.zeros(Mb, bool)
+        mvalid[:M] = True
 
         from ceres_mono_orb_slam2_tpu.ops import frustum as frustum_ops
 
@@ -297,13 +304,14 @@ class LocalMapping:
             jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw), self.jK,
             jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32)),
             jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
-            jnp.ones(M, bool), float(np.log(self.config.orb.scale_factor)), self.n_levels,
+            jnp.asarray(mvalid), float(np.log(self.config.orb.scale_factor)), self.n_levels,
         )
         idx, dist, valid = matcher.search_fuse(
             jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
             matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kf.kp_valid),
             uv, level, matcher.unpack_bits_pm1(jnp.asarray(desc)), visible,
             jnp.asarray(self.scale_factors), th=th,
+            inv_level_sigma2=jnp.asarray(self.inv_sigma2.astype(np.float32)),
         )
         vi = np.asarray(valid)
         ii = np.asarray(idx)
@@ -348,6 +356,9 @@ class LocalMapping:
                     if mp is not None:
                         mp_ids.append(int(mid))
                         mp_set.add(int(mid))
+        if len(mp_ids) > shapes.max_ba_points:
+            log.warning("local BA truncated: %d points > cap %d "
+                        "(raise StaticShapes.max_ba_points)", len(mp_ids), shapes.max_ba_points)
         mp_ids = mp_ids[: shapes.max_ba_points]
 
         fixed_ids = []
@@ -360,6 +371,9 @@ class LocalMapping:
                         fixed_ids.append(ok_id)
                         fixed_set.add(ok_id)
         max_fixed = shapes.max_local_keyframes - len(local_ids)
+        if len(fixed_ids) > max_fixed:
+            log.warning("local BA truncated: %d fixed keyframes > cap %d "
+                        "(raise StaticShapes.max_local_keyframes)", len(fixed_ids), max_fixed)
         fixed_ids = fixed_ids[:max_fixed]
 
         kf_ids = local_ids + fixed_ids
@@ -373,6 +387,9 @@ class LocalMapping:
                 if ok_id in kf_slot:
                     okf = m.keyframes[ok_id]
                     obs.append((kf_slot[ok_id], mp_slot[mid], kidx, okf))
+        if len(obs) > shapes.max_ba_obs:
+            log.warning("local BA truncated: %d observations > cap %d "
+                        "(raise StaticShapes.max_ba_obs)", len(obs), shapes.max_ba_obs)
         obs = obs[: shapes.max_ba_obs]
         if len(obs) < 10:
             return
@@ -404,12 +421,28 @@ class LocalMapping:
             ow[q] = self.inv_sigma2[okf.kp_octave[kidx]]
             ovalid[q] = True
 
+        # chunked solve with cooperative cancellation: the reference aborts
+        # Ceres between iterations via InterruptBA (LocalMapping.cc:118-122,
+        # CeresOptimizer.h:332-349). A jitted lax.scan can't observe host
+        # state mid-run, so the TPU-native equivalent is chunking — run the
+        # Huber pass + half the trimmed pass, check the abort flag on the
+        # host, and only then run the remaining trimmed iterations.
+        jop, joj = jnp.asarray(op), jnp.asarray(oj)
+        jouv, jow = jnp.asarray(ouv), jnp.asarray(ow)
+        jovalid, jfixed, jpvalid = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
         res = optim.bundle_adjustment(
             self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
-            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
-            jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid),
-            iters_huber=5, iters_trimmed=10,
+            jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
+            iters_huber=5, iters_trimmed=5,
         )
+        if not self.abort_ba:
+            res = optim.bundle_adjustment(
+                self.jK, res.R, res.t, res.points,
+                jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
+                iters_huber=0, iters_trimmed=5,
+            )
+        else:
+            self.n_ba_aborted += 1
         self.n_local_ba += 1
         Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
         inl = np.asarray(res.inlier_obs)

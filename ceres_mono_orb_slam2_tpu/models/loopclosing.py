@@ -33,6 +33,14 @@ COVIS_CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh
 MIN_EDGE_WEIGHT = 100  # essential-graph covisibility edge gate (CeresOptimizer.cc:753)
 
 
+def lie_sim3_inv_np(R, t, s):
+    """Inverse of a similarity (R, t, s): x -> s R x + t."""
+    Ri = np.asarray(R).T
+    si = 1.0 / float(s)
+    ti = -si * (Ri @ np.asarray(t))
+    return Ri, ti, si
+
+
 class LoopClosing:
     def __init__(self, config, map_: Map, keyframe_db, local_mapper=None, fix_scale: bool = False):
         self.config = config
@@ -66,10 +74,11 @@ class LoopClosing:
             candidates = self._detect_loop(kf)
             if not candidates:
                 continue
-            ok, match_kf_id, Scw, loop_points = self._compute_sim3(kf, candidates)
+            ok, match_kf_id, Scw, lp = self._compute_sim3(kf, candidates)
             if ok:
                 log.info("Loop detected! kf %d <-> kf %d", kf.id, match_kf_id)
-                self._correct_loop(kf, match_kf_id, Scw, loop_points)
+                loop_points, loop_mp_ids = lp
+                self._correct_loop(kf, match_kf_id, Scw, loop_points, loop_mp_ids)
 
     def reset(self):
         self.queue.clear()
@@ -144,6 +153,104 @@ class LoopClosing:
                 pairs.append((i, int(ii[i]), mp1, mp2))
         return pairs
 
+    # -- sim3-guided projection (shared by SearchBySim3 / SearchByProjection(Scw)
+    #    / SearchAndFuse; reference ORBmatcher.cc:258-362, 844-954, 956-1159)
+
+    def _project_into_kf(self, kf: KeyFrame, Rcw, tcw, scw, mp_ids: List[int],
+                         th: float, dist_th: int, free_only: bool = False):
+        """Project map points through the similarity (scw*(Rcw x)+tcw) into
+        keyframe kf and match each to its best keypoint: radius
+        th*scale(predicted level), level window [l-1, l], best Hamming under
+        dist_th. Returns (kp_idx (M,), valid (M,)) aligned to mp_ids."""
+        m = self.map
+        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
+
+        M = len(mp_ids)
+        Mb = bucket(M)
+        pos = np.zeros((Mb, 3), np.float32)
+        desc = np.zeros((Mb, 32), np.uint8)
+        mind = np.zeros(Mb, np.float32)
+        maxd = np.zeros(Mb, np.float32)
+        normal = np.zeros((Mb, 3), np.float32)
+        ok = np.zeros(Mb, bool)
+        for q, mid in enumerate(mp_ids):
+            mp = m.get_mp(mid)
+            if mp is None:
+                continue
+            pos[q] = mp.pos
+            desc[q] = mp.descriptor
+            mind[q], maxd[q] = mp.min_dist, mp.max_dist
+            normal[q] = mp.normal
+            ok[q] = True
+        Xc = scw * (pos @ np.asarray(Rcw).T) + np.asarray(tcw)
+        z = Xc[:, 2]
+        ok &= z > 0
+        zs = np.maximum(z, 1e-9)
+        cam = self.config.camera
+        u = cam.fx * Xc[:, 0] / zs + cam.cx
+        v = cam.fy * Xc[:, 1] / zs + cam.cy
+        # image bounds: keypoint extent is a good displayless proxy
+        ok &= (u >= 0) & (u < 2 * cam.cx) & (v >= 0) & (v < 2 * cam.cy)
+        Ow = -np.asarray(Rcw).T @ (np.asarray(tcw) / max(scw, 1e-12))
+        PO = pos - Ow
+        dist = np.linalg.norm(PO, axis=-1)
+        ok &= (dist >= mind) & (dist <= maxd) & (dist > 1e-9)
+        ok &= np.sum(PO * normal, -1) >= 0.5 * dist  # 60 deg viewing gate
+        sf = self.config.orb.scale_factors
+        level = np.ceil(np.log(np.maximum(maxd, 1e-9) / np.maximum(dist, 1e-9))
+                        / np.log(self.config.orb.scale_factor)).astype(np.int32)
+        level = np.clip(level, 0, self.config.orb.n_levels - 1)
+        kp_free = kf.kp_valid & ((kf.mp_ids < 0) if free_only else True)
+        idx, d, valid = matcher.search_fuse(
+            jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
+            matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kp_free),
+            jnp.asarray(np.stack([u, v], -1).astype(np.float32)), jnp.asarray(level),
+            matcher.unpack_bits_pm1(jnp.asarray(desc)), jnp.asarray(ok),
+            jnp.asarray(sf), th=th, dist_th=dist_th,
+        )
+        return np.asarray(idx)[:M], np.asarray(valid)[:M]
+
+    def _search_by_sim3(self, kf1: KeyFrame, kf2: KeyFrame, matched1: set, matched2: set,
+                        R12, t12, s12, th: float = 7.5):
+        """Reference SearchBySim3 (ORBmatcher.cc:956-1159): mutual sim3-guided
+        projection search between the two loop keyframes' map points.
+        Returns new (i1, i2, mp1, mp2) pairs."""
+        m = self.map
+        # direction 1: kf1 map points into kf2 via S21 = S12^-1 composed with T1w
+        Ri, ti, si = lie_sim3_inv_np(R12, t12, s12)
+        R2w_s = Ri @ kf1.Rcw
+        t2w_s = si * (Ri @ kf1.tcw) + ti
+        ids1 = [int(mid) for q, mid in enumerate(kf1.mp_ids)
+                if mid >= 0 and q not in matched1 and m.get_mp(int(mid)) is not None]
+        k1_of = {mid: q for q, mid in enumerate(kf1.mp_ids) if mid >= 0}
+        idx2, val2 = (np.zeros(0, np.int64), np.zeros(0, bool)) if not ids1 else self._project_into_kf(
+            kf2, R2w_s, t2w_s, si, ids1, th, matcher.TH_HIGH)
+        # direction 2: kf2 map points into kf1 via S12 composed with T2w
+        R1w_s = R12 @ kf2.Rcw
+        t1w_s = s12 * (R12 @ kf2.tcw) + t12
+        ids2 = [int(mid) for q, mid in enumerate(kf2.mp_ids)
+                if mid >= 0 and q not in matched2 and m.get_mp(int(mid)) is not None]
+        k2_of = {mid: q for q, mid in enumerate(kf2.mp_ids) if mid >= 0}
+        idx1, val1 = (np.zeros(0, np.int64), np.zeros(0, bool)) if not ids2 else self._project_into_kf(
+            kf1, R1w_s, t1w_s, s12, ids2, th, matcher.TH_HIGH)
+        # mutual agreement: mp1 -> kp2 and the map point AT kp2 -> kp1 = mp1's kp
+        match12 = {}  # kp1 index -> kp2 index
+        for q, mid in enumerate(ids1):
+            if val2[q]:
+                match12[k1_of[mid]] = int(idx2[q])
+        match21 = {}
+        for q, mid in enumerate(ids2):
+            if val1[q]:
+                match21[k2_of[mid]] = int(idx1[q])
+        out = []
+        for i1, i2 in match12.items():
+            if match21.get(i2) == i1:
+                mp1 = m.get_mp(int(kf1.mp_ids[i1]))
+                mp2 = m.get_mp(int(kf2.mp_ids[i2]))
+                if mp1 is not None and mp2 is not None:
+                    out.append((i1, i2, mp1, mp2))
+        return out
+
     def _compute_sim3(self, kf: KeyFrame, candidates: List[int]):
         """Reference ComputeSim3 (LoopClosing.cc:230-399)."""
         m = self.map
@@ -154,25 +261,45 @@ class LoopClosing:
             pairs = self._matched_map_points(kf, ckf)
             if len(pairs) < 20:
                 continue
-            N = len(pairs)
-            X1 = np.stack([kf.Rcw @ p[2].pos + kf.tcw for p in pairs]).astype(np.float32)
-            X2 = np.stack([ckf.Rcw @ p[3].pos + ckf.tcw for p in pairs]).astype(np.float32)
-            uv1 = kf.kp_und[[p[0] for p in pairs]].astype(np.float32)
-            uv2 = ckf.kp_und[[p[1] for p in pairs]].astype(np.float32)
-            w1 = self.inv_sigma2[kf.kp_octave[[p[0] for p in pairs]]].astype(np.float32)
-            w2 = self.inv_sigma2[ckf.kp_octave[[p[1] for p in pairs]]].astype(np.float32)
+            from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
+
+            def build_arrays(prs):
+                N = len(prs)
+                Nb = bucket(N)  # shape bucket: avoid per-call recompiles
+                nvalid = np.zeros(Nb, bool)
+                nvalid[:N] = True
+                X1 = pad_rows(np.stack([kf.Rcw @ p[2].pos + kf.tcw for p in prs]).astype(np.float32), Nb)
+                X2 = pad_rows(np.stack([ckf.Rcw @ p[3].pos + ckf.tcw for p in prs]).astype(np.float32), Nb)
+                X1[N:, 2] = 1.0  # keep padded rows in front of the camera
+                X2[N:, 2] = 1.0
+                uv1 = pad_rows(kf.kp_und[[p[0] for p in prs]].astype(np.float32), Nb)
+                uv2 = pad_rows(ckf.kp_und[[p[1] for p in prs]].astype(np.float32), Nb)
+                w1 = pad_rows(self.inv_sigma2[kf.kp_octave[[p[0] for p in prs]]].astype(np.float32), Nb, 1)
+                w2 = pad_rows(self.inv_sigma2[ckf.kp_octave[[p[1] for p in prs]]].astype(np.float32), Nb, 1)
+                return nvalid, X1, X2, uv1, uv2, w1, w2
+
+            nvalid, X1, X2, uv1, uv2, w1, w2 = build_arrays(pairs)
             res = sim3solver.ransac_sim3(
                 self._next_key(), self.jK, self.jK,
                 jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(w1), jnp.asarray(w2), jnp.ones(N, bool),
+                jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(nvalid),
                 fix_scale=self.fix_scale,
             )
             if not bool(res.success):
                 continue
+            # widen matches with the mutual sim3-guided search before the
+            # refinement (reference LoopClosing.cc:319 SearchBySim3 th=7.5)
+            extra = self._search_by_sim3(
+                kf, ckf, {p[0] for p in pairs}, {p[1] for p in pairs},
+                np.asarray(res.R), np.asarray(res.t), float(res.s),
+            )
+            if extra:
+                pairs = pairs + extra
+                nvalid, X1, X2, uv1, uv2, w1, w2 = build_arrays(pairs)
             opt = sim3opt.optimize_sim3(
                 self.jK, self.jK, jnp.asarray(X1), jnp.asarray(X2),
                 jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(w1), jnp.asarray(w2),
-                res.inliers, res.R, res.t, res.s,
+                jnp.asarray(nvalid), res.R, res.t, res.s,
             )
             if int(opt.n_inliers) < 20:
                 continue
@@ -196,24 +323,10 @@ class LoopClosing:
             loop_mp_ids = list(seen)
             if not loop_mp_ids:
                 continue
-            pos = np.stack([m.map_points[i].pos for i in loop_mp_ids]).astype(np.float32)
-            desc = np.stack([m.map_points[i].descriptor for i in loop_mp_ids])
-            Xs = (s12 * (pos @ (Rcw_s).T)) + tcw_s  # sim3 applied: s R x + t
-            zok = Xs[:, 2] > 1e-6
-            fx, fy = self.config.camera.fx, self.config.camera.fy
-            cx, cy = self.config.camera.cx, self.config.camera.cy
-            uvp = np.stack([fx * Xs[:, 0] / np.maximum(Xs[:, 2], 1e-6) + cx,
-                            fy * Xs[:, 1] / np.maximum(Xs[:, 2], 1e-6) + cy], -1).astype(np.float32)
-            idx, dist, valid = matcher.search_by_projection_frame(
-                jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave), jnp.asarray(kf.kp_angle),
-                matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kf.kp_valid),
-                jnp.asarray(uvp), jnp.zeros(len(pos), jnp.int32), jnp.zeros(len(pos), jnp.float32),
-                matcher.unpack_bits_pm1(jnp.asarray(desc)), jnp.asarray(zok),
-                jnp.asarray(self.config.orb.scale_factors), th=10.0,
-                check_rotation=False, dist_th=matcher.TH_LOW,
-            )
-            vi = np.asarray(valid)
-            ii = np.asarray(idx)
+            # guided projection with predicted scale levels (reference
+            # SearchByProjection(Scw) overload, ORBmatcher.cc:258-362, th=10)
+            ii, vi = self._project_into_kf(kf, Rcw_s, tcw_s, s12, loop_mp_ids,
+                                           th=10.0, dist_th=matcher.TH_LOW)
             total = {}
             for q in np.nonzero(vi)[0]:
                 total[int(ii[q])] = loop_mp_ids[q]
@@ -223,12 +336,14 @@ class LoopClosing:
                 if inl[j]:
                     total[i1] = mp2.id
             if len(total) >= 40:
-                return True, cand, (Rcw_s.astype(np.float32), tcw_s.astype(np.float32), s12), total
+                return True, cand, (Rcw_s.astype(np.float32), tcw_s.astype(np.float32), s12), \
+                    (total, loop_mp_ids)
         return False, -1, None, None
 
     # ----------------------------------------------------------- correct loop
 
-    def _correct_loop(self, kf: KeyFrame, match_kf_id: int, Scw, loop_points: Dict[int, int]):
+    def _correct_loop(self, kf: KeyFrame, match_kf_id: int, Scw,
+                      loop_points: Dict[int, int], loop_mp_ids: List[int]):
         """Reference CorrectLoop (LoopClosing.cc:401-597)."""
         m = self.map
         if self.local_mapper is not None:
@@ -294,13 +409,54 @@ class LoopClosing:
                     m.add_observation(loop_mp, kf, int(kp_idx))
                     m.compute_distinctive_descriptor(loop_mp)
 
-            # loop edges
+            # SearchAndFuse: project the loop-side map points into EVERY
+            # keyframe of the corrected group through its corrected Sim3 and
+            # replace-or-add (reference LoopClosing.cc:599-623 + the Scw Fuse
+            # overload ORBmatcher.cc:844-954, th=4)
+            for kfi_id, (Rn, tn, sn) in corrected.items():
+                kfi = m.keyframes.get(kfi_id)
+                if kfi is None or kfi.bad:
+                    continue
+                live = [mid for mid in loop_mp_ids if m.get_mp(mid) is not None
+                        and kfi_id not in m.map_points[m.resolve(mid)].observations]
+                if not live:
+                    continue
+                ii, vi = self._project_into_kf(kfi, Rn, tn, sn, live,
+                                               th=4.0, dist_th=matcher.TH_LOW)
+                for q in np.nonzero(vi)[0]:
+                    loop_mp = m.get_mp(live[q])
+                    if loop_mp is None:
+                        continue
+                    kp = int(ii[q])
+                    existing = m.resolve(int(kfi.mp_ids[kp]))
+                    if existing >= 0 and existing != loop_mp.id:
+                        m.replace_map_point(m.map_points[existing], loop_mp)
+                    elif existing < 0:
+                        m.add_observation(loop_mp, kfi, kp)
+
+            # new covisibility links created by the fusion (reference
+            # LoopClosing.cc:549-573): connections that exist now but neither
+            # existed before the fusion nor are intra-group links
+            group_set = set(corrected.keys())
+            loop_connections: Dict[int, set] = {}
+            for kfi_id in corrected:
+                kfi = m.keyframes.get(kfi_id)
+                if kfi is None or kfi.bad:
+                    continue
+                prev = set(kfi.covisible)
+                m.update_connections(kfi)
+                loop_connections[kfi_id] = set(kfi.covisible) - prev - group_set
+
+            self._optimize_essential_graph(kf, match_kf_id, corrected,
+                                           noncorrected, loop_connections)
+
+            # loop edges — added AFTER the essential graph like the reference
+            # (LoopClosing.cc:580-584): they feed FUTURE pose-graph solves,
+            # measured from the by-then-corrected poses
             mkf = m.keyframes.get(match_kf_id)
             if mkf is not None:
                 kf.loop_edges.add(match_kf_id)
                 mkf.loop_edges.add(kf.id)
-
-            self._optimize_essential_graph(kf, match_kf_id, corrected)
 
         # full-map BA (reference RunGlobalBundleAdjustment, 50 iters,
         # LoopClosing.cc:655-656)
@@ -310,48 +466,106 @@ class LoopClosing:
         self.last_loop_kf_id = kf.id
         self.n_loops_closed += 1
 
-    def _optimize_essential_graph(self, kf: KeyFrame, match_kf_id: int, corrected):
-        """Assemble + run the sim3 pose graph (reference OptimizeEssentialGraph
-        via CeresOptimizer.cc:737-957): edges from spanning tree, loop edges,
-        and strong covisibility (weight >= 100); the loop-match KF is fixed."""
+    def _optimize_essential_graph(self, kf: KeyFrame, match_kf_id: int,
+                                  corrected: Dict[int, tuple],
+                                  noncorrected: Dict[int, tuple],
+                                  loop_connections: Dict[int, set]):
+        """Assemble + run the sim3 pose graph (reference OptimizeEssentialGraph,
+        CeresOptimizer.cc:737-957).
+
+        The split that makes this effective (reference cc:775-776, 828-848):
+        vertices of the corrected group INITIALIZE at their corrected Sim3,
+        but spanning-tree/covisibility/loop-edge MEASUREMENTS are built from
+        the non-corrected poses — so the loop constraint carries a nonzero
+        residual that the solve distributes around the graph. Post-fusion
+        loop_connections edges measure from the corrected values. The
+        loop-match keyframe is fixed (cc:788-791).
+        """
         m = self.map
         kfs = sorted(m.all_keyframes(), key=lambda x: x.id)
         slot = {k.id: i for i, k in enumerate(kfs)}
         P = len(kfs)
-        R = np.stack([k.Rcw for k in kfs]).astype(np.float32)
-        t = np.stack([k.tcw for k in kfs]).astype(np.float32)
+
+        # vertex initial values: corrected sim3 for the group, SE3 otherwise
+        R = np.zeros((P, 3, 3), np.float32)
+        t = np.zeros((P, 3), np.float32)
         s = np.ones(P, np.float32)
+        for k in kfs:
+            i = slot[k.id]
+            if k.id in corrected:
+                Rc, tc, sc = corrected[k.id]
+                R[i], t[i], s[i] = Rc, tc, sc
+            else:
+                R[i], t[i] = k.Rcw, k.tcw
+
+        # measurement source: NON-corrected pose for the group, current
+        # (never-corrected) pose otherwise — all scale-1 SE3
+        def meas_pose(kf_id):
+            if kf_id in noncorrected:
+                Ro, to, _ = noncorrected[kf_id]
+                return np.asarray(Ro, np.float64), np.asarray(to, np.float64), 1.0
+            k = m.keyframes[kf_id]
+            return k.Rcw.astype(np.float64), k.tcw.astype(np.float64), 1.0
 
         edges = set()
         ei, ej = [], []
         Rm_l, tm_l, sm_l = [], [], []
 
-        def add_edge(a, b):
+        def add_edge(a, b, Sa, Sb):
+            """Edge with measurement S_ba = S_b * S_a^-1 from given sim3s."""
             if a == b or (min(a, b), max(a, b)) in edges:
                 return
             if a not in slot or b not in slot:
                 return
             edges.add((min(a, b), max(a, b)))
-            ka, kb = m.keyframes[a], m.keyframes[b]
-            # measurement S_ba = S_b * S_a^-1 from CURRENT (corrected) poses
-            Rb, tb = kb.Rcw.astype(np.float64), kb.tcw.astype(np.float64)
-            Ra, ta = ka.Rcw.astype(np.float64), ka.tcw.astype(np.float64)
-            Rba = Rb @ Ra.T
-            tba = tb - Rba @ ta
+            Ra, ta, sa = Sa
+            Rb, tb, sb = Sb
+            Rai, tai, sai = lie_sim3_inv_np(Ra, ta, sa)
+            Rba = np.asarray(Rb, np.float64) @ Rai
+            tba = sb * (np.asarray(Rb, np.float64) @ tai) + np.asarray(tb, np.float64)
             ei.append(slot[a])
             ej.append(slot[b])
             Rm_l.append(Rba.astype(np.float32))
             tm_l.append(tba.astype(np.float32))
-            sm_l.append(1.0)
+            sm_l.append(float(sb) * sai)
 
+        # 0. the loop constraint itself: current<->match measured from the
+        #    corrected vertex values. The reference gets this edge through
+        #    LoopConnections (fusion always links the pair); adding it
+        #    explicitly makes the loop closure independent of fusion yield.
+        if kf.id in slot and match_kf_id in slot:
+            ic, im = slot[kf.id], slot[match_kf_id]
+            add_edge(kf.id, match_kf_id, (R[ic], t[ic], s[ic]), (R[im], t[im], s[im]))
+
+        # 1. loop_connections edges: measurements from the CORRECTED initial
+        #    values (these links only exist post-correction), weight-gated
+        #    except the current<->match pair (reference cc:791-821)
+        for kfi_id, links in (loop_connections or {}).items():
+            kfi = m.keyframes.get(kfi_id)
+            if kfi is None:
+                continue
+            for nb in links:
+                if not ((kfi_id == kf.id and nb == match_kf_id) or
+                        (kfi_id == match_kf_id and nb == kf.id)):
+                    if kfi.covisible.get(nb, 0) < MIN_EDGE_WEIGHT:
+                        continue
+                if nb not in slot or kfi_id not in slot:
+                    continue
+                Sa = (R[slot[kfi_id]], t[slot[kfi_id]], s[slot[kfi_id]])
+                Sb = (R[slot[nb]], t[slot[nb]], s[slot[nb]])
+                add_edge(kfi_id, nb, Sa, Sb)
+
+        # 2. spanning tree + previous loop edges + strong covisibility, all
+        #    measured from NON-corrected poses (reference cc:823-909)
         for k in kfs:
-            if k.parent is not None:
-                add_edge(k.parent, k.id)
+            if k.parent is not None and k.parent in slot:
+                add_edge(k.parent, k.id, meas_pose(k.parent), meas_pose(k.id))
             for le in k.loop_edges:
-                add_edge(k.id, le)
+                if le in slot:
+                    add_edge(k.id, le, meas_pose(k.id), meas_pose(le))
             for nb, w in k.covisible.items():
-                if w >= MIN_EDGE_WEIGHT:
-                    add_edge(k.id, nb)
+                if w >= MIN_EDGE_WEIGHT and nb in slot:
+                    add_edge(k.id, nb, meas_pose(k.id), meas_pose(nb))
         if not ei:
             return
         fixed = np.zeros(P, bool)
@@ -359,29 +573,48 @@ class LoopClosing:
             fixed[slot[match_kf_id]] = True
         else:
             fixed[0] = True
+
+        # pad to shape buckets (recompile guard)
+        from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
+
+        E = len(ei)
+        Pb, Eb = bucket(P, 8), bucket(E, 16)
+        Rp = pad_rows(R, Pb).copy()
+        Rp[P:] = np.eye(3, dtype=np.float32)
+        tp = pad_rows(t, Pb)
+        sp = pad_rows(s, Pb, 1.0)
+        fixedp = np.ones(Pb, bool)
+        fixedp[:P] = fixed
+        eip = pad_rows(np.array(ei, np.int32), Eb)
+        ejp = pad_rows(np.array(ej, np.int32), Eb)
+        Rmp = pad_rows(np.stack(Rm_l).astype(np.float32), Eb).copy()
+        Rmp[E:] = np.eye(3, dtype=np.float32)
+        tmp_ = pad_rows(np.stack(tm_l).astype(np.float32), Eb)
+        smp = pad_rows(np.array(sm_l, np.float32), Eb, 1.0)
+        evalid = np.zeros(Eb, bool)
+        evalid[:E] = True
+
         res = sim3opt.optimize_essential_graph(
-            jnp.asarray(R), jnp.asarray(t), jnp.asarray(s),
-            jnp.asarray(np.array(ei, np.int32)), jnp.asarray(np.array(ej, np.int32)),
-            jnp.asarray(np.stack(Rm_l)), jnp.asarray(np.stack(tm_l)),
-            jnp.asarray(np.array(sm_l, np.float32)),
-            jnp.ones(len(ei), bool), jnp.asarray(fixed),
+            jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(sp),
+            jnp.asarray(eip), jnp.asarray(ejp),
+            jnp.asarray(Rmp), jnp.asarray(tmp_), jnp.asarray(smp),
+            jnp.asarray(evalid), jnp.asarray(fixedp),
         )
-        Rn = np.asarray(res.R)
-        tn = np.asarray(res.t)
-        sn = np.asarray(res.s)
-        # recover SE3 (t/s) + remap map points via their reference keyframes
-        old = {k.id: (k.Rcw.copy(), k.tcw.copy()) for k in kfs}
+        Rn = np.asarray(res.R)[:P]
+        tn = np.asarray(res.t)[:P]
+        sn = np.asarray(res.s)[:P]
+        # recover SE3 (t/s) + remap map points via their reference keyframes:
+        # X' = S_new^-1 (S_init (X)) with S_init the vertex INITIAL sim3
+        # (reference cc:916-956)
         for k in kfs:
             i = slot[k.id]
             k.Rcw = Rn[i]
             k.tcw = (tn[i] / max(sn[i], 1e-9)).astype(np.float32)
         for mp in m.all_map_points():
             ref = m.keyframes.get(mp.ref_kf_id)
-            if ref is None or ref.bad or mp.ref_kf_id not in old:
+            if ref is None or ref.bad or mp.ref_kf_id not in slot:
                 continue
-            Ro, to = old[mp.ref_kf_id]
             i = slot[mp.ref_kf_id]
-            pc = Ro @ mp.pos + to
-            # invert corrected sim3: p = R^T (s^-1 (pc - t_sim)) with t_sim = s*t_se3
+            pc = s[i] * (R[i].astype(np.float64) @ mp.pos.astype(np.float64)) + t[i]
             mp.pos = (Rn[i].T @ ((pc - tn[i]) / max(sn[i], 1e-9))).astype(np.float32)
             m.update_normal_and_depth(mp, self.config.orb.scale_factors)

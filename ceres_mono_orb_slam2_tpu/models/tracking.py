@@ -76,6 +76,10 @@ class Tracking:
         # per-frame trajectory log: (ref_kf_id, R_rel, t_rel, timestamp, lost)
         self.trajectory = []
         self.n_resets = 0
+        # per-frame structured stats (SURVEY §5: n_matches / inliers / solve
+        # ms); one dict per frame, appended in _track
+        self.frame_stats = []
+        self._stat = {}
 
     # ------------------------------------------------------------------ utils
 
@@ -109,7 +113,12 @@ class Tracking:
     # ------------------------------------------------------------------ track
 
     def _track(self):
+        import time
+
         f = self.current
+        t0 = time.perf_counter()
+        self._stat = {"frame_id": f.id, "timestamp": f.timestamp,
+                      "n_kp": int(f.kp_valid.sum()), "method": ""}
         if self.state == State.NO_IMAGES_YET:
             self.state = State.NOT_INITIALIZED
 
@@ -122,18 +131,30 @@ class Tracking:
             self._check_replaced_in_last_frame()
             if self.velocity is not None:
                 ok = self._track_with_motion_model()
+                self._stat["method"] = "motion"
             if not ok:
                 ok = self._track_reference_keyframe()
+                self._stat["method"] = "refkf"
         elif self.state == State.OK and self.localization_only:
             if self.velocity is not None:
                 ok = self._track_with_motion_model()
+                self._stat["method"] = "motion"
             if not ok:
                 ok = self._track_reference_keyframe()
+                self._stat["method"] = "refkf"
         else:  # LOST
             ok = self._relocalization()
+            self._stat["method"] = "reloc"
 
+        self._stat["inliers_frame"] = self.matches_inliers if ok else 0
         if ok and not (self.localization_only and self.state == State.LOST):
             ok = self._track_local_map()
+        self._stat["inliers_local"] = self.matches_inliers
+        self._stat["ok"] = bool(ok)
+        self._stat["track_ms"] = (time.perf_counter() - t0) * 1e3
+        self._stat["n_kfs"] = self.map.n_keyframes()
+        self._stat["n_mps"] = len(self.map.map_points)
+        self.frame_stats.append(self._stat)
 
         self.state = State.OK if ok else State.LOST
 
@@ -260,46 +281,9 @@ class Tracking:
 
     def _global_ba_small(self, n_iters: int = 20):
         """Full BA over the whole (small) map — used at initialization."""
-        m = self.map
-        kfs = m.all_keyframes()
-        mps = m.all_map_points()
-        if not kfs or not mps:
-            return
-        kf_slot = {kf.id: i for i, kf in enumerate(kfs)}
-        mp_slot = {mp.id: i for i, mp in enumerate(mps)}
-        obs = []
-        for mp in mps:
-            for kf_id, kidx in mp.observations.items():
-                kf = m.keyframes.get(kf_id)
-                if kf is None or kf.bad:
-                    continue
-                obs.append((kf_slot[kf_id], mp_slot[mp.id], kf.kp_und[kidx],
-                            self.inv_sigma2[kf.kp_octave[kidx]]))
-        if not obs:
-            return
-        P, M, O = len(kfs), len(mps), len(obs)
-        R = np.stack([kf.Rcw for kf in kfs])
-        t = np.stack([kf.tcw for kf in kfs])
-        pts = np.stack([mp.pos for mp in mps])
-        op = np.array([o[0] for o in obs], np.int32)
-        oj = np.array([o[1] for o in obs], np.int32)
-        ouv = np.stack([o[2] for o in obs]).astype(np.float32)
-        ow = np.array([o[3] for o in obs], np.float32)
-        fixed = np.zeros(P, bool)
-        fixed[kf_slot[min(kf.id for kf in kfs)]] = True
-        res = optim.bundle_adjustment(
-            self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
-            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
-            jnp.ones(O, bool), jnp.asarray(fixed), jnp.ones(M, bool),
-            iters_huber=0, iters_trimmed=n_iters,
-        )
-        Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
-        for kf in kfs:
-            s = kf_slot[kf.id]
-            if not fixed[s]:
-                kf.Rcw, kf.tcw = Rn[s], tn[s]
-        for mp in mps:
-            mp.pos = ptsn[mp_slot[mp.id]]
+        from ceres_mono_orb_slam2_tpu.models.optimization import global_bundle_adjustment
+
+        global_bundle_adjustment(self.map, self.config, n_iters=n_iters)
 
     # ------------------------------------------------------------ frame tracking
 
@@ -495,7 +479,12 @@ class Tracking:
                 mp.last_frame_seen = f.id
 
         cap = self.config.shapes.max_local_points
+        if len(cand) > cap:
+            log.warning("local map truncated: %d candidate points > cap %d "
+                        "(raise StaticShapes.max_local_points)", len(cand), cap)
         cand = cand[:cap]
+        self._stat["local_kfs"] = len(local_kfs)
+        self._stat["local_points"] = len(cand)
         if cand:
             M = cap
             pos = np.zeros((M, 3), np.float32)
@@ -651,17 +640,22 @@ class Tracking:
             cand_mp = [int(m) for m in kf.mp_ids if m >= 0 and self.map.get_mp(int(m)) is not None]
             if not cand_mp:
                 continue
-            M = len(cand_mp)
-            mp_pos = np.stack([self.map.map_points[m].pos for m in cand_mp])
-            mp_desc = np.stack([self.map.map_points[m].descriptor for m in cand_mp])
+            from ceres_mono_orb_slam2_tpu.utils.padding import bucket
+
+            M = bucket(len(cand_mp))  # shape bucket: avoid per-call recompiles
+            mp_pos = np.zeros((M, 3), np.float32)
+            mp_desc = np.zeros((M, 32), np.uint8)
+            mp_pos[: len(cand_mp)] = np.stack([self.map.map_points[m].pos for m in cand_mp])
+            mp_desc[: len(cand_mp)] = np.stack([self.map.map_points[m].descriptor for m in cand_mp])
             Xc = mp_pos @ f.Rcw.T + f.tcw
             zok = Xc[:, 2] > 1e-6
+            zok[len(cand_mp):] = False
             uvp = np.stack(
                 [self.cam.fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cx,
                  self.cam.fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cy], -1
             ).astype(np.float32)
             already = set(int(m) for m in f.mp_ids if m >= 0)
-            fresh = np.array([m not in already for m in cand_mp])
+            fresh = np.array([m not in already for m in cand_mp] + [False] * (M - len(cand_mp)))
             idx2, d2, v2 = matcher.search_by_projection_frame(
                 f.j_und, f.j_octave, f.j_angle, f.j_bits, f.j_valid & jnp.asarray(f.mp_ids < 0),
                 jnp.asarray(uvp), jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.float32),
@@ -678,6 +672,38 @@ class Tracking:
             if n_good >= 50:
                 self.last_reloc_frame_id = f.id
                 return True
+            # narrow second pass (reference Tracking.cc:1095-1116): if the
+            # wide pass got close (30 < nGood < 50), re-search with a tight
+            # window (th=3) and strict descriptor gate (ORBdist=64) around
+            # the refined pose, then re-optimize
+            if 30 < n_good < 50:
+                Xc = mp_pos @ f.Rcw.T + f.tcw
+                zok = Xc[:, 2] > 1e-6
+                zok[len(cand_mp):] = False
+                uvp = np.stack(
+                    [self.cam.fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cx,
+                     self.cam.fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + self.cam.cy], -1
+                ).astype(np.float32)
+                already = set(int(mm) for mm in f.mp_ids if mm >= 0)
+                fresh = np.array([mm not in already for mm in cand_mp]
+                                 + [False] * (M - len(cand_mp)))
+                idx3, d3, v3 = matcher.search_by_projection_frame(
+                    f.j_und, f.j_octave, f.j_angle, f.j_bits,
+                    f.j_valid & jnp.asarray(f.mp_ids < 0),
+                    jnp.asarray(uvp), jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.float32),
+                    matcher.unpack_bits_pm1(jnp.asarray(mp_desc)), jnp.asarray(zok & fresh),
+                    self.j_scale, th=3.0, check_rotation=False, dist_th=64,
+                )
+                v3 = np.asarray(v3)
+                i3 = np.asarray(idx3)
+                for q in np.nonzero(v3)[0]:
+                    f.mp_ids[i3[q]] = cand_mp[q]
+                n_good = self._pose_optimize(f)
+                f.mp_ids[f.outlier] = -1
+                f.outlier[:] = False
+                if n_good >= 50:
+                    self.last_reloc_frame_id = f.id
+                    return True
         return False
 
     # ------------------------------------------------------------------ reset

@@ -308,17 +308,26 @@ def search_fuse(
     pr_uv, pr_level, pr_bits, pr_valid,
     scale_factors,
     th: float = 3.0,
+    dist_th: int = TH_LOW,
+    inv_level_sigma2=None,  # (L,) enables the 5.99 chi2 gate of Fuse overload 1
 ):
-    """Fuse search (reference Fuse, ORBmatcher.cc:724-954): project map
-    points into a keyframe, radius th*scale(predicted level), level window
-    [l-1, l+1], TH_LOW. Host logic decides replace-vs-add from the result."""
+    """Fuse / sim3-guided projection search (reference Fuse overloads,
+    ORBmatcher.cc:724-954, and each direction of SearchBySim3, :956-1159):
+    project map points into a keyframe, radius th*scale(predicted level),
+    level window [l-1, l] (reference kpLevel gate, :805/:897/:1060), best
+    descriptor under dist_th. Host logic decides replace-vs-add (Fuse) or
+    mutual agreement (SearchBySim3) from the result."""
     r = th * scale_factors[pr_level]
     du = jnp.abs(pr_uv[:, 0:1] - kp_xy[None, :, 0])
     dv = jnp.abs(pr_uv[:, 1:2] - kp_xy[None, :, 1])
     in_window = (du <= r[:, None]) & (dv <= r[:, None])
-    lvl_ok = (kp_octave[None, :] >= pr_level[:, None] - 1) & (kp_octave[None, :] <= pr_level[:, None] + 1)
+    lvl_ok = (kp_octave[None, :] >= pr_level[:, None] - 1) & (kp_octave[None, :] <= pr_level[:, None])
     mask = in_window & lvl_ok & kp_valid[None, :] & pr_valid[:, None]
+    if inv_level_sigma2 is not None:
+        # first Fuse overload's chi2 gate e2/sigma2 <= 5.99 (ORBmatcher.cc:810)
+        e2 = du * du + dv * dv
+        mask = mask & (e2 * inv_level_sigma2[kp_octave][None, :] <= 5.99)
     dist = hamming_matrix(pr_bits, kp_bits)
     best_val, best_idx, _, _ = masked_top2(dist, mask)
-    valid = pr_valid & (best_val <= TH_LOW)
+    valid = pr_valid & (best_val <= dist_th)
     return best_idx, best_val, valid

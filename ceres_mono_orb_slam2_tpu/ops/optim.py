@@ -66,6 +66,11 @@ class PoseOptResult(NamedTuple):
     cost: jnp.ndarray
 
 
+import os as _os
+
+_POSE_F64 = bool(_os.environ.get("CERES_TPU_POSE_F64"))  # numerical diagnostic
+
+
 def pose_optimization(
     K,
     R0,
@@ -88,6 +93,14 @@ def pose_optimization(
     otherwise keep pulling the solution toward the motion-model prediction
     and feed a velocity-loop drift).
     """
+    if _POSE_F64:  # CERES_TPU_POSE_F64=1: solve in float64 (needs x64 enabled)
+        K = K.astype(jnp.float64)
+        R0 = R0.astype(jnp.float64)
+        t0 = t0.astype(jnp.float64)
+        pts3d = pts3d.astype(jnp.float64)
+        uv = uv.astype(jnp.float64)
+        inv_sigma2 = inv_sigma2.astype(jnp.float64)
+
     delta = jnp.sqrt(chi2_th)
 
     def residuals(R, t):

@@ -152,8 +152,8 @@ def optimize_essential_graph(
     sm,  # (E,)
     edge_valid,  # (E,) bool
     fixed,  # (P,) bool — at least the loop keyframe (reference cc:788-791)
-    gn_iters: int = 12,
-    cg_iters: int = 60,
+    gn_iters: int = 30,
+    cg_iters: int = 100,
 ) -> EssentialGraphResult:
     """Sim3 pose-graph optimization, matrix-free PCG Gauss-Newton.
 

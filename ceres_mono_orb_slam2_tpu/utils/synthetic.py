@@ -223,7 +223,32 @@ def make_sequence(
     seed: int = 0,
     noise: float = 1.0,
     fps: float = 30.0,
+    cache: bool = True,
 ) -> SyntheticSequence:
+    """Ray-traced synthetic sequence. Rendering costs ~6 s/frame so results
+    are cached on disk keyed by all generation parameters."""
+    if cache:
+        import os
+
+        key = f"v1_{n_frames}_{h}_{w}_{fx}_{fy}_{motion}_{step}_{seed}_{noise}_{fps}"
+        cache_dir = os.environ.get("SEQ_CACHE_DIR", "/tmp/seq_cache")
+        path = os.path.join(cache_dir, key + ".npz")
+        if os.path.exists(path):
+            d = np.load(path)
+            return SyntheticSequence(
+                images=d["images"], poses_Rcw=d["poses_Rcw"], poses_tcw=d["poses_tcw"],
+                timestamps=d["timestamps"], K=d["K"],
+            )
+        seq = make_sequence(n_frames, h, w, fx, fy, motion, step, seed, noise, fps, cache=False)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"  # savez appends .npz unless already suffixed
+        np.savez_compressed(
+            tmp, images=seq.images, poses_Rcw=seq.poses_Rcw, poses_tcw=seq.poses_tcw,
+            timestamps=seq.timestamps, K=seq.K,
+        )
+        os.replace(tmp, path)
+        return seq
+
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
@@ -260,6 +285,28 @@ def make_sequence(
         timestamps=np.array(stamps, np.float64),
         K=K,
     )
+
+
+def make_trajectory(n_frames: int, motion: str = "strafe", step: float = 0.06):
+    """Ground-truth (Rcw, tcw) arrays for the standard test motions (same
+    pose code as make_sequence, no rendering)."""
+    Rs, ts = [], []
+    for k in range(n_frames):
+        if motion == "strafe":
+            c = np.array([k * step, 0.1 * np.sin(k * 0.3), 0.04 * np.sin(k * 0.2)], np.float64)
+            w_rot = np.array([0.003 * np.sin(k * 0.5), 0.004 * k, 0.001 * k], np.float64)
+        elif motion == "forward":
+            c = np.array([0.3 * k * step, 0.0, 0.6 * k * step], np.float64)
+            w_rot = np.array([0.0, 0.002 * k, 0.0], np.float64)
+        else:  # orbit
+            ang = 0.015 * k
+            c = np.array([4.0 * np.sin(ang), 0.0, 4.0 * (1 - np.cos(ang))], np.float64)
+            w_rot = np.array([0.0, ang, 0.0], np.float64)
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray(w_rot)), np.float64)
+        Rcw = Rwc.T
+        Rs.append(Rcw.astype(np.float32))
+        ts.append((-Rcw @ c).astype(np.float32))
+    return np.stack(Rs), np.stack(ts)
 
 
 def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True) -> float:

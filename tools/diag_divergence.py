@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--step", type=float, default=0.12)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--no-velocity", action="store_true")
+    ap.add_argument("--no-new-points", action="store_true",
+                    help="disable CreateNewMapPoints (track init map only)")
+    ap.add_argument("--no-lba", action="store_true",
+                    help="disable local bundle adjustment")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable SearchInNeighbors fusion")
     ap.add_argument("--features", type=int, default=1500)
     args = ap.parse_args()
 
@@ -48,6 +54,12 @@ def main():
         # single-ingredient substitution: never use the motion model
         orig = tr._track_with_motion_model
         tr._track_with_motion_model = lambda: False
+    if args.no_new_points:
+        slam.local_mapper._create_new_map_points = lambda kf: None
+    if args.no_lba:
+        slam.local_mapper._local_bundle_adjustment = lambda kf: None
+    if args.no_fuse:
+        slam.local_mapper._search_in_neighbors = lambda kf: None
 
     gt_c = seq.gt_centers()
     est_cs, gt_cs = [], []

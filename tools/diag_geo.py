@@ -1,0 +1,256 @@
+"""Frontend-bypass divergence diagnostic.
+
+Runs the FULL tracking/mapping pipeline on synthetic landmark observations:
+3D points projected with ground-truth poses, each landmark carrying a fixed
+random 256-bit descriptor (near-perfect matching). No images, no ORB
+extractor — isolates the estimation loop (motion model, windowed matching,
+pose opt, triangulation, LBA, culling, KF cadence) from the image frontend.
+
+If the frame-~14 divergence (KNOWN_ISSUES #1) reproduces here, the bug is in
+core estimation; if not, it's in the image frontend path.
+
+Flags mirror tools/diag_divergence.py plus:
+  --px-noise S  : keypoint measurement noise sigma in pixels (default 0.3)
+  --bit-noise B : descriptor bits flipped per observation (default 2)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+if os.environ.get("CERES_TPU_POSE_F64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+from ceres_mono_orb_slam2_tpu.ops.orb.extractor import FrameFeatures
+from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig, StaticShapes
+from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse, make_trajectory
+
+import jax.numpy as jnp
+
+
+class GeoWorld:
+    """Random landmark cloud covering the camera's view along the trajectory."""
+
+    def __init__(self, rng, n_landmarks, extent):
+        n = n_landmarks
+        self.pos = np.stack(
+            [
+                rng.uniform(-6.0, extent + 6.0, n),
+                rng.uniform(-4.0, 4.0, n),
+                rng.uniform(3.5, 11.0, n),
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        self.desc = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+
+
+class GeoExtractor:
+    """Drop-in for ORBExtractor: 'image' is a (H, W) array whose [0, 0] pixel
+    encodes the frame index; returns projections of the landmark cloud under
+    the GT pose for that frame."""
+
+    def __init__(self, world: GeoWorld, K, Rcw, tcw, n_features, h, w,
+                 px_noise=0.3, bit_noise=2, seed=0):
+        self.world = world
+        self.K = K
+        self.Rcw = Rcw
+        self.tcw = tcw
+        self.n = n_features
+        self.h, self.w = h, w
+        self.px_noise = px_noise
+        self.bit_noise = bit_noise
+        self.rng = np.random.default_rng(seed + 1000)
+
+    def extract(self, image):
+        if image.ndim == 3:
+            image = image[0]
+        k = int(round(float(image[0, 0])))
+        self.last_frame_idx = k
+        R, t = self.Rcw[k].astype(np.float64), self.tcw[k].astype(np.float64)
+        Xc = self.world.pos @ R.T + t
+        z = Xc[:, 2]
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        u = fx * Xc[:, 0] / np.maximum(z, 1e-9) + cx
+        v = fy * Xc[:, 1] / np.maximum(z, 1e-9) + cy
+        vis = (z > 0.3) & (u >= 20) & (u < self.w - 20) & (v >= 20) & (v < self.h - 20)
+        ids = np.nonzero(vis)[0]
+        if len(ids) > self.n:
+            ids = self.rng.permutation(ids)[: self.n]
+        m = len(ids)
+        N = self.n
+        xy = np.zeros((N, 2), np.float32)
+        desc = np.zeros((N, 32), np.uint8)
+        valid = np.zeros(N, bool)
+        xy[:m, 0] = u[ids] + self.rng.normal(0, self.px_noise, m)
+        xy[:m, 1] = v[ids] + self.rng.normal(0, self.px_noise, m)
+        # record keypoint-slot -> landmark-id for GT diagnostics
+        slot_lm = np.full(N, -1, np.int64)
+        slot_lm[:m] = ids
+        if not hasattr(self, "slot_lm_by_frame"):
+            self.slot_lm_by_frame = {}
+        self.slot_lm_by_frame[k] = slot_lm
+        desc[:m] = self.world.desc[ids]
+        if self.bit_noise > 0:
+            for q in range(m):
+                for _ in range(self.bit_noise):
+                    b = self.rng.integers(0, 256)
+                    desc[q, b // 8] ^= 1 << (b % 8)
+        valid[:m] = True
+        feats = FrameFeatures(
+            xy=jnp.asarray(xy[None]),
+            response=jnp.asarray(np.full((1, N), 30.0, np.float32)),
+            angle=jnp.asarray(np.zeros((1, N), np.float32)),
+            octave=jnp.asarray(np.zeros((1, N), np.int32)),
+            desc=jnp.asarray(desc[None]),
+            valid=jnp.asarray(valid[None]),
+        )
+        return feats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--motion", default="strafe")
+    ap.add_argument("--step", type=float, default=0.12)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--features", type=int, default=1000)
+    ap.add_argument("--landmarks", type=int, default=4000)
+    ap.add_argument("--px-noise", type=float, default=0.3)
+    ap.add_argument("--bit-noise", type=int, default=2)
+    ap.add_argument("--no-velocity", action="store_true")
+    ap.add_argument("--no-new-points", action="store_true")
+    ap.add_argument("--no-lba", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true")
+    ap.add_argument("--no-culling", action="store_true")
+    ap.add_argument("--max-local-kfs", type=int, default=12)
+    args = ap.parse_args()
+
+    h, w = 480, 640
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        orb=ORBConfig(n_features=args.features),
+        shapes=StaticShapes(
+            max_local_points=2048, max_local_keyframes=args.max_local_kfs,
+            max_ba_points=1024, max_ba_obs=4096,
+        ),
+    )
+    rng = np.random.default_rng(args.seed)
+    Rcw, tcw = make_trajectory(args.frames, args.motion, args.step)
+    extent = max(args.frames * args.step * 1.5, 10.0)
+    world = GeoWorld(rng, args.landmarks, extent)
+
+    slam = MonoSLAM(cfg)
+    slam.tracker.extractor = GeoExtractor(
+        world, cfg.camera.K, Rcw, tcw, args.features, h, w,
+        px_noise=args.px_noise, bit_noise=args.bit_noise, seed=args.seed,
+    )
+    tr = slam.tracker
+    if args.no_velocity:
+        tr._track_with_motion_model = lambda: False
+    if args.no_new_points:
+        slam.local_mapper._create_new_map_points = lambda kf: None
+    if args.no_lba:
+        slam.local_mapper._local_bundle_adjustment = lambda kf: None
+    if args.no_fuse:
+        slam.local_mapper._search_in_neighbors = lambda kf: None
+    if args.no_culling:
+        slam.local_mapper._map_point_culling = lambda kf: None
+        slam.local_mapper._keyframe_culling = lambda kf: None
+
+    gt_c = np.einsum("tij,tj->ti", Rcw.transpose(0, 2, 1), -tcw)
+    est_cs, gt_cs = [], []
+    scale = None
+    prev_c = None
+    mp_lm = {}  # map-point id -> landmark id (first association)
+
+    def umeyama_scale(est, gt):
+        """similarity scale + post-alignment RMS between paired point sets"""
+        ce, cg = est.mean(0), gt.mean(0)
+        e0, g0 = est - ce, gt - cg
+        s = np.sqrt((g0 ** 2).sum() / max((e0 ** 2).sum(), 1e-12))
+        U, _, Vt = np.linalg.svd(g0.T @ e0)
+        D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        Rr = U @ D @ Vt
+        rms = np.sqrt(np.mean(np.sum(((s * (Rr @ e0.T)).T - g0) ** 2, -1)))
+        return s, rms
+
+    def map_diag(frame, k):
+        """associate map points to GT landmarks through this frame's slots;
+        returns (conflicts, s_all, rms_all, s_recent, n_recent)"""
+        ex = slam.tracker.extractor
+        slot_lm = ex.slot_lm_by_frame.get(k)
+        conflicts = 0
+        if slot_lm is not None:
+            for i in np.nonzero(frame.mp_ids >= 0)[0]:
+                lm = int(slot_lm[i])
+                if lm < 0:
+                    continue
+                mid = int(frame.mp_ids[i])
+                if mid in mp_lm and mp_lm[mid] != lm:
+                    conflicts += 1
+                else:
+                    mp_lm[mid] = lm
+        est, gt, recent_mask = [], [], []
+        latest_kf = max(slam.map.keyframes) if slam.map.keyframes else 0
+        for mid, lm in mp_lm.items():
+            mp = slam.map.get_mp(mid)
+            if mp is None:
+                continue
+            est.append(mp.pos)
+            gt.append(world.pos[lm])
+            recent_mask.append(mp.first_kf_id >= latest_kf - 1)
+        if len(est) < 8:
+            return conflicts, 0.0, 0.0, 0.0, 0
+        est = np.stack(est)
+        gt = np.stack(gt)
+        recent_mask = np.array(recent_mask)
+        s_all, rms_all = umeyama_scale(est, gt)
+        s_recent, n_recent = 0.0, int(recent_mask.sum())
+        if n_recent >= 8:
+            s_recent, _ = umeyama_scale(est[recent_mask], gt[recent_mask])
+        return conflicts, s_all, rms_all, s_recent, n_recent
+
+    for k in range(args.frames):
+        img = np.zeros((h, w), np.float32)
+        img[0, 0] = k
+        Tcw = slam.track_monocular(img, k / 30.0)
+        if Tcw is None:
+            print(f"f{k:03d} state={tr.state.name} [no pose]")
+            continue
+        c = -Tcw[:3, :3].T @ Tcw[:3, 3]
+        est_cs.append(c)
+        gt_cs.append(gt_c[k])
+        if scale is None and len(est_cs) >= 2:
+            d_est = np.linalg.norm(est_cs[-1] - est_cs[0])
+            if d_est > 1e-9:
+                scale = np.linalg.norm(gt_cs[-1] - gt_cs[0]) / d_est
+        step_est = np.linalg.norm(c - prev_c) * (scale or 1.0) if prev_c is not None else 0.0
+        step_gt = np.linalg.norm(gt_c[k] - gt_c[k - 1]) if k > 0 else 0.0
+        prev_c = c
+        err = ate_rmse(np.stack(est_cs), np.stack(gt_cs)) if scale is not None and len(est_cs) >= 3 else 0.0
+        confl, s_all, rms_all, s_recent, n_recent = map_diag(tr.current, k)
+        print(
+            f"f{k:03d} state={tr.state.name} inl={tr.matches_inliers:4d} "
+            f"step_est={step_est:.4f} step_gt={step_gt:.4f} "
+            f"ratio={step_est / max(step_gt, 1e-9):6.2f} "
+            f"kfs={slam.map.n_keyframes()} mps={slam.map.n_map_points()} ate={err:.4f} "
+            f"confl={confl} s_map={s_all:.4f} rms={rms_all:.4f} "
+            f"s_new={s_recent:.4f}/{n_recent}"
+        )
+
+    if len(est_cs) >= 3:
+        traj = np.linalg.norm(np.diff(np.stack(gt_cs), axis=0), axis=1).sum()
+        print("\nfinal ATE (sim3-aligned):", ate_rmse(np.stack(est_cs), np.stack(gt_cs)))
+        print("trajectory length:", traj)
+
+
+if __name__ == "__main__":
+    main()
