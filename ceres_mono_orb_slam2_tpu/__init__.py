@@ -21,12 +21,21 @@ import jax as _jax
 # back into lower precision explicitly at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# The axon environment pins the platform via sitecustomize, which beats the
+# JAX_PLATFORMS env var; re-apply the user's explicit choice so
+# JAX_PLATFORMS=cpu actually selects the CPU backend.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 # Persistent compilation cache: the fused SLAM pipelines take minutes to
 # compile (especially through the remote-TPU tunnel); cache compiled
 # executables on disk so repeated runs skip XLA entirely. Opt out with
 # CERES_TPU_NO_COMPILE_CACHE=1.
-import os as _os
-
 if not _os.environ.get("CERES_TPU_NO_COMPILE_CACHE"):
     _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
     try:

@@ -73,7 +73,14 @@ class Frame:
         return len(self.kp_xy)
 
     def set_pose(self, Rcw, tcw):
-        self.Rcw = np.asarray(Rcw, np.float32).reshape(3, 3)
+        R = np.asarray(Rcw, np.float64).reshape(3, 3)
+        # project to SO(3): determinant drift in composed f32 rotations acts
+        # as a hidden scale factor and compounds exponentially through the
+        # constant-velocity model (the round-1 frame-14 divergence; the
+        # reference renormalizes its quaternion, CeresOptimizer.cc:335)
+        for _ in range(2):
+            R = R @ (1.5 * np.eye(3) - 0.5 * (R.T @ R))
+        self.Rcw = R.astype(np.float32)
         self.tcw = np.asarray(tcw, np.float32).reshape(3)
         self.pose_set = True
 

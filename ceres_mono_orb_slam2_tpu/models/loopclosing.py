@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.models.map import Map, KeyFrame
-from ceres_mono_orb_slam2_tpu.models.optimization import global_bundle_adjustment
+from ceres_mono_orb_slam2_tpu.models.optimization import (
+    global_bundle_adjustment, run_global_ba)
 from ceres_mono_orb_slam2_tpu.ops import bow, lie, matcher, sim3opt, sim3solver
 
 log = logging.getLogger(__name__)
@@ -42,7 +43,8 @@ def lie_sim3_inv_np(R, t, s):
 
 
 class LoopClosing:
-    def __init__(self, config, map_: Map, keyframe_db, local_mapper=None, fix_scale: bool = False):
+    def __init__(self, config, map_: Map, keyframe_db, local_mapper=None, fix_scale: bool = False,
+                 threaded_gba: bool = False):
         self.config = config
         self.map = map_
         self.db = keyframe_db
@@ -55,6 +57,12 @@ class LoopClosing:
         self._key = jax.random.PRNGKey(42)
         self.jK = jnp.asarray(config.camera.K)
         self.inv_sigma2 = config.orb.inv_level_sigma2
+        # global-BA thread state (reference LoopClosing.h is_running_global_BA_
+        # / is_stop_global_BA_ / full_BA_index_)
+        self.threaded_gba = threaded_gba
+        self.gba_thread = None
+        self.stop_gba = False
+        self.full_ba_index = 0
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -348,6 +356,13 @@ class LoopClosing:
         m = self.map
         if self.local_mapper is not None:
             self.local_mapper.process_queue()  # drain, like RequestStop+spin
+        # abort any global BA still running from a previous loop
+        # (reference LoopClosing.cc:406-419)
+        if self.gba_thread is not None and self.gba_thread.is_alive():
+            self.stop_gba = True
+            self.full_ba_index += 1
+            self.gba_thread.join()
+        self.stop_gba = False
         Rcor, tcor, scor = Scw
 
         with m.update_lock:
@@ -458,11 +473,24 @@ class LoopClosing:
                 kf.loop_edges.add(match_kf_id)
                 mkf.loop_edges.add(kf.id)
 
-        # full-map BA (reference RunGlobalBundleAdjustment, 50 iters,
-        # LoopClosing.cc:655-656)
-        log.info("Starting Global Bundle Adjustment")
-        global_bundle_adjustment(m, self.config, n_iters=50)
-        log.info("Global Bundle Adjustment finished")
+        # full-map BA: 50 iters, abortable between chunks, side-field write
+        # + spanning-tree propagation (reference RunGlobalBundleAdjustment,
+        # LoopClosing.cc:646-739). Threaded mode runs it on its own thread
+        # exactly like the reference's `new thread(...)` (:590-591).
+        def _gba(loop_id=kf.id, index=self.full_ba_index):
+            log.info("Starting Global Bundle Adjustment")
+            ok = run_global_ba(m, self.config, loop_id, n_iters=50,
+                               stop_cb=lambda: self.stop_gba or index != self.full_ba_index)
+            log.info("Global Bundle Adjustment %s",
+                     "finished" if ok else "aborted")
+
+        if self.threaded_gba:
+            import threading
+
+            self.gba_thread = threading.Thread(target=_gba, daemon=True)
+            self.gba_thread.start()
+        else:
+            _gba()
         self.last_loop_kf_id = kf.id
         self.n_loops_closed += 1
 

@@ -9,6 +9,120 @@ from ceres_mono_orb_slam2_tpu.ops import optim
 from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
 
 
+def run_global_ba(m, config, loop_kf_id: int, n_iters: int = 50,
+                  stop_cb=None, chunk: int = 10, robust: bool = True):
+    """Reference RunGlobalBundleAdjustment (LoopClosing.cc:646-739): global BA
+    over a SNAPSHOT of the map with cooperative abort, side-field results,
+    then spanning-tree propagation to keyframes/map-points created while the
+    solve ran (only possible in threaded mode; a no-op addition otherwise).
+
+    The reference aborts Ceres between iterations through a callback reading
+    is_stop_global_BA_ (CeresOptimizer.h:332-349). A jitted solve can't read
+    host state mid-run, so the TPU-native equivalent runs the LM loop in
+    `chunk`-iteration device calls and checks `stop_cb()` between chunks.
+
+    Returns True if the solve completed and was applied."""
+    with m.update_lock:
+        kfs = m.all_keyframes()
+        mps = m.all_map_points()
+        if not kfs or not mps:
+            return False
+        inv_sigma2 = config.orb.inv_level_sigma2
+        kf_slot = {kf.id: i for i, kf in enumerate(kfs)}
+        mp_slot = {mp.id: i for i, mp in enumerate(mps)}
+        obs = []
+        for mp in mps:
+            for kf_id, kidx in mp.observations.items():
+                kf = m.keyframes.get(kf_id)
+                if kf is None or kf.bad:
+                    continue
+                obs.append((kf_slot[kf_id], mp_slot[mp.id], kf.kp_und[kidx],
+                            inv_sigma2[kf.kp_octave[kidx]]))
+        if len(obs) < 10:
+            return False
+        P, M, O = len(kfs), len(mps), len(obs)
+        Pb, Mb, Ob = bucket(P, 8), bucket(M, 256), bucket(O, 1024)
+        R = pad_rows(np.stack([kf.Rcw for kf in kfs]), Pb, 0).copy()
+        R[P:] = np.eye(3, dtype=R.dtype)
+        t = pad_rows(np.stack([kf.tcw for kf in kfs]), Pb)
+        pts = pad_rows(np.stack([mp.pos for mp in mps]), Mb)
+        op = pad_rows(np.array([o[0] for o in obs], np.int32), Ob)
+        oj = pad_rows(np.array([o[1] for o in obs], np.int32), Ob)
+        ouv = pad_rows(np.stack([o[2] for o in obs]).astype(np.float32), Ob)
+        ow = pad_rows(np.array([o[3] for o in obs], np.float32), Ob, 1)
+        ovalid = np.zeros(Ob, bool)
+        ovalid[:O] = True
+        pvalid = np.zeros(Mb, bool)
+        pvalid[:M] = True
+        fixed = np.ones(Pb, bool)
+        fixed[:P] = False
+        fixed[kf_slot[min(kf.id for kf in kfs)]] = True
+
+    jK = jnp.asarray(config.camera.K)
+    jR, jt, jpts = jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts)
+    jop, joj = jnp.asarray(op), jnp.asarray(oj)
+    jouv, jow = jnp.asarray(ouv), jnp.asarray(ow)
+    jov, jfix, jpv = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
+    done = 0
+    while done < n_iters:
+        it = min(chunk, n_iters - done)
+        res = optim.bundle_adjustment(
+            jK, jR, jt, jpts, jop, joj, jouv, jow, jov, jfix, jpv,
+            iters_huber=it if robust else 0, iters_trimmed=0 if robust else it,
+        )
+        jR, jt, jpts = res.R, res.t, res.points
+        done += it
+        if stop_cb is not None and stop_cb():
+            return False  # aborted: discard (reference :658 'return' path)
+
+    Rn, tn, ptsn = np.asarray(jR), np.asarray(jt), np.asarray(jpts)
+    with m.update_lock:
+        # side fields for keyframes that were in the snapshot
+        for kf_id, i in kf_slot.items():
+            kf = m.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            kf.Tcw_gba = (Rn[i], tn[i])
+            kf.gba_for_kf = loop_kf_id
+        # spanning-tree propagation from the map origins (LoopClosing.cc:679-713)
+        stack = [m.keyframes[k] for k in m.keyframe_origins if k in m.keyframes]
+        gba_bef = {}
+        while stack:
+            kf = stack.pop(0)
+            if kf.Tcw_gba is None:
+                continue
+            Rwc, twc = kf.Rcw.T, -kf.Rcw.T @ kf.tcw
+            for ch_id in kf.children:
+                ch = m.keyframes.get(ch_id)
+                if ch is None or ch.bad:
+                    continue
+                if ch.gba_for_kf != loop_kf_id:
+                    # T_child_c = T_child * Twc(parent); Tcw_gba = T_child_c * parent gba
+                    Rrel = ch.Rcw @ Rwc
+                    trel = ch.Rcw @ twc + ch.tcw
+                    Rp, tp_ = kf.Tcw_gba
+                    ch.Tcw_gba = (Rrel @ Rp, Rrel @ tp_ + trel)
+                    ch.gba_for_kf = loop_kf_id
+                stack.append(ch)
+            gba_bef[kf.id] = (kf.Rcw.copy(), kf.tcw.copy())
+            kf.Rcw, kf.tcw = (kf.Tcw_gba[0].astype(np.float32),
+                              kf.Tcw_gba[1].astype(np.float32))
+        # map points: solved ones directly, new ones via their reference KF
+        for mp in m.all_map_points():
+            i = mp_slot.get(mp.id)
+            if i is not None:
+                mp.pos = ptsn[i]
+            else:
+                ref = m.keyframes.get(mp.ref_kf_id)
+                if ref is None or ref.id not in gba_bef:
+                    continue
+                Ro, to = gba_bef[ref.id]
+                Xc = Ro @ mp.pos + to
+                mp.pos = (ref.Rcw.T @ (Xc - ref.tcw)).astype(np.float32)
+        m.big_change_idx += 1
+    return True
+
+
 def global_bundle_adjustment(m, config, n_iters: int = 20, fixed_kf_ids=None,
                              stop_flag=None):
     """Full BA over the whole map (reference GlobalBundleAdjustemnt,

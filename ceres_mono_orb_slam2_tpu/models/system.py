@@ -46,7 +46,8 @@ class MonoSLAM:
 
             self.keyframe_db = KeyFrameDatabase(vocabulary, self.map)
             self.map.keyframe_db = self.keyframe_db
-            self.loop_closer = LoopClosing(config, self.map, self.keyframe_db)
+            self.loop_closer = LoopClosing(config, self.map, self.keyframe_db,
+                                           threaded_gba=threaded)
         self.local_mapper = LocalMapping(config, self.map, loop_closer=self.loop_closer)
         self.tracker = Tracking(
             config, self.map, self.extractor,
@@ -112,6 +113,8 @@ class MonoSLAM:
             self._worker.join(timeout=2.0)
         if not self.threaded:
             self.local_mapper.process_queue()
+        if self.loop_closer is not None and self.loop_closer.gba_thread is not None:
+            self.loop_closer.gba_thread.join(timeout=30.0)
 
     def get_tracking_state(self) -> str:
         return self.tracker.state.name
@@ -156,8 +159,10 @@ class MonoSLAM:
 
     def save_map(self, path: str):
         """Map snapshot (reference SaveMap writes OpenCV-YAML,
-        MonoORBSlam.cc:194-247; we write npz with the same content: map point
-        id/pos/descriptor, keyframe id/timestamp/pose/point-indices)."""
+        MonoORBSlam.cc:194-247 — map point id/pos/descriptor + keyframe
+        id/timestamp/pose/point-indices; we additionally persist the full
+        keyframe keypoint payloads so the map is reloadable for
+        relocalization, a capability the reference left as TODO)."""
         mps = self.map.all_map_points()
         kfs = sorted(self.map.all_keyframes(), key=lambda k: k.id)
         np.savez_compressed(
@@ -168,31 +173,89 @@ class MonoSLAM:
             mp_min_dist=np.array([mp.min_dist for mp in mps], np.float32),
             mp_max_dist=np.array([mp.max_dist for mp in mps], np.float32),
             mp_normal=np.stack([mp.normal for mp in mps]) if mps else np.zeros((0, 3), np.float32),
+            mp_ref_kf=np.array([mp.ref_kf_id for mp in mps], np.int64),
             kf_ids=np.array([kf.id for kf in kfs], np.int64),
+            kf_frame_ids=np.array([kf.frame_id for kf in kfs], np.int64),
             kf_timestamps=np.array([kf.timestamp for kf in kfs], np.float64),
             kf_Rcw=np.stack([kf.Rcw for kf in kfs]) if kfs else np.zeros((0, 3, 3), np.float32),
             kf_tcw=np.stack([kf.tcw for kf in kfs]) if kfs else np.zeros((0, 3), np.float32),
             kf_mp_ids=np.stack([kf.mp_ids for kf in kfs]) if kfs else np.zeros((0, 0), np.int64),
+            kf_kp_xy=np.stack([kf.kp_xy for kf in kfs]) if kfs else np.zeros((0, 0, 2), np.float32),
+            kf_kp_und=np.stack([kf.kp_und for kf in kfs]) if kfs else np.zeros((0, 0, 2), np.float32),
+            kf_kp_octave=np.stack([kf.kp_octave for kf in kfs]) if kfs else np.zeros((0, 0), np.int32),
+            kf_kp_angle=np.stack([kf.kp_angle for kf in kfs]) if kfs else np.zeros((0, 0), np.float32),
+            kf_kp_response=np.stack([kf.kp_response for kf in kfs]) if kfs else np.zeros((0, 0), np.float32),
+            kf_desc=np.stack([kf.desc for kf in kfs]) if kfs else np.zeros((0, 0, 32), np.uint8),
+            kf_kp_valid=np.stack([kf.kp_valid for kf in kfs]) if kfs else np.zeros((0, 0), bool),
+            kf_parent=np.array([kf.parent if kf.parent is not None else -1 for kf in kfs], np.int64),
         )
         log.info("map saved to %s (%d points, %d keyframes)", path, len(mps), len(kfs))
 
     def load_map(self, path: str):
-        """Map re-load (the reference lists LoadMap as an unchecked TODO,
-        MonoORBSlam.h:78-81; implemented here for localization/reloc reuse)."""
+        """Full map re-load: restores map points AND keyframes (poses,
+        keypoint payloads, observations), rebuilds the covisibility graph and
+        the BoW relocalization database. The reference lists LoadMap as an
+        unchecked TODO (MonoORBSlam.h:78-81, README.md:46); here
+        save->load->relocalize works end to end (tests/test_relocalization.py).
+        Returns {old_mp_id: new_mp_id}."""
         data = np.load(path)
         m = self.map
-        m.clear()
-        id_map = {}
-        for i, mid in enumerate(data["mp_ids"]):
-            mp = m.new_map_point(data["mp_pos"][i], data["mp_desc"][i], ref_kf_id=-1)
-            mp.min_dist = float(data["mp_min_dist"][i])
-            mp.max_dist = float(data["mp_max_dist"][i])
-            mp.normal = data["mp_normal"][i]
-            id_map[int(mid)] = mp.id
-        # keyframes need keypoint payloads which the snapshot doesn't carry;
-        # loaded maps are intended for localization-only relocalization where
-        # map points suffice. Keyframe poses are restored as lightweight stubs.
-        self._loaded_kf_poses = {
-            int(k): (data["kf_Rcw"][i], data["kf_tcw"][i]) for i, k in enumerate(data["kf_ids"])
-        }
+        with m.update_lock:
+            m.clear()
+            if self.keyframe_db is not None:
+                self.keyframe_db.clear()
+            id_map = {}
+            for i, mid in enumerate(data["mp_ids"]):
+                mp = m.new_map_point(data["mp_pos"][i], data["mp_desc"][i],
+                                     ref_kf_id=int(data["mp_ref_kf"][i]))
+                mp.min_dist = float(data["mp_min_dist"][i])
+                mp.max_dist = float(data["mp_max_dist"][i])
+                mp.normal = data["mp_normal"][i]
+                id_map[int(mid)] = mp.id
+
+            class _FrameShim:  # duck-typed Frame for the KeyFrame constructor
+                pass
+
+            kf_ids = data["kf_ids"]
+            for i, kid in enumerate(kf_ids):
+                f = _FrameShim()
+                f.id = int(data["kf_frame_ids"][i])
+                f.timestamp = float(data["kf_timestamps"][i])
+                f.Rcw = data["kf_Rcw"][i]
+                f.tcw = data["kf_tcw"][i]
+                f.kp_xy = data["kf_kp_xy"][i]
+                f.kp_und = data["kf_kp_und"][i]
+                f.kp_octave = data["kf_kp_octave"][i]
+                f.kp_angle = data["kf_kp_angle"][i]
+                f.kp_response = data["kf_kp_response"][i]
+                f.desc = data["kf_desc"][i]
+                f.kp_valid = data["kf_kp_valid"][i]
+                f.mp_ids = np.array(
+                    [id_map.get(int(old), -1) for old in data["kf_mp_ids"][i]], np.int64)
+                kf = m.new_keyframe(f)
+                if kf.id != int(kid):  # preserve original ids
+                    del m.keyframes[kf.id]
+                    kf.id = int(kid)
+                    m.keyframes[kf.id] = kf
+                for q in np.nonzero(kf.mp_ids >= 0)[0]:
+                    mp = m.map_points.get(int(kf.mp_ids[q]))
+                    if mp is not None:
+                        mp.observations[kf.id] = int(q)
+            m.next_kf_id = int(kf_ids.max()) + 1 if len(kf_ids) else 0
+            for i, kid in enumerate(kf_ids):
+                kf = m.keyframes[int(kid)]
+                par = int(data["kf_parent"][i])
+                if par >= 0 and par in m.keyframes:
+                    kf.parent = par
+                    m.keyframes[par].children.add(kf.id)
+                m.update_connections(kf)
+                if self.keyframe_db is not None:
+                    self.keyframe_db.add(kf)
+            # remap stale ref_kf ids and refresh per-point stats
+            for mp in m.all_map_points():
+                if mp.ref_kf_id not in m.keyframes and mp.observations:
+                    mp.ref_kf_id = next(iter(mp.observations))
+                m.update_normal_and_depth(mp, self.config.orb.scale_factors)
+        log.info("map loaded from %s (%d points, %d keyframes)", path,
+                 m.n_map_points(), m.n_keyframes())
         return id_map

@@ -478,6 +478,8 @@ class Tracking:
                 mp.n_visible += 1
                 mp.last_frame_seen = f.id
 
+        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
+
         cap = self.config.shapes.max_local_points
         if len(cand) > cap:
             log.warning("local map truncated: %d candidate points > cap %d "
@@ -486,7 +488,7 @@ class Tracking:
         self._stat["local_kfs"] = len(local_kfs)
         self._stat["local_points"] = len(cand)
         if cand:
-            M = cap
+            M = bucket(len(cand), 512)  # shape bucket, cap only as guard
             pos = np.zeros((M, 3), np.float32)
             normal = np.zeros((M, 3), np.float32)
             mind = np.zeros(M, np.float32)

@@ -96,6 +96,29 @@ def so3_log(R):
     return jnp.where(near_pi[..., None], w_pi, w)
 
 
+def so3_project(R):
+    """Project a near-rotation onto SO(3) (closest in Frobenius norm).
+
+    Two Newton steps of the polar-decomposition iteration
+    R <- R (3I - R^T R)/2, quadratically convergent for ||R^T R - I|| < 1 —
+    far cheaper than an SVD and jit/vmap-friendly.
+
+    Load-bearing: the reference renormalizes its pose quaternion after every
+    Ceres solve (CeresOptimizer.cc:335 frame_qcw.normalized()). Without the
+    equivalent, f32 determinant error (~1e-7/op) survives the LM solves
+    (left-multiplying by orthogonal increments preserves det) and the
+    constant-velocity model COMPOUNDS it multiplicatively every frame
+    (det(R_pred) = det(R_cur)·det(R_last)²) — exponential growth that
+    reaches percent scale by frame ~13-16 and was the round-1 tracking
+    divergence (KNOWN_ISSUES #1): det(R)≠1 acts as a hidden scale factor on
+    the whole camera, inflating apparent depth geometrically.
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3): exp((J_l w') ^) ~ d exp near w."""
     theta2 = jnp.sum(w * w, axis=-1)

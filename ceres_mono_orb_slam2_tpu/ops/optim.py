@@ -79,7 +79,7 @@ def pose_optimization(
     uv,  # (N, 2) observed (undistorted) pixels
     inv_sigma2,  # (N,) per-observation information weight
     valid,  # (N,) bool
-    max_iters: int = 10,
+    max_iters: int = 25,
     chi2_th: float = CHI2_MONO,
     rounds: int = 4,
 ) -> PoseOptResult:
@@ -92,6 +92,14 @@ def pose_optimization(
     ORB-SLAM2 4-round trimming scheme; borderline-biased associations
     otherwise keep pulling the solution toward the motion-model prediction
     and feed a velocity-loop drift).
+
+    max_iters=25 per round matters: with a several-pixel initial pose error
+    the Huber loss flattens the gradient and LM descends slowly; a
+    half-converged round-1 pose makes the round-2 chi2 re-classification
+    discard the very points that carry the remaining gradient, freezing the
+    solution off-optimum (the round-2 frame-14 divergence: the solver stalled
+    at 2.7x the optimal cost and trimming locked it in). The reference gives
+    Ceres up to 100 iterations (CeresOptimizer.cc:301).
     """
     if _POSE_F64:  # CERES_TPU_POSE_F64=1: solve in float64 (needs x64 enabled)
         K = K.astype(jnp.float64)
@@ -137,17 +145,21 @@ def pose_optimization(
         accept = new_cost < cost
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 4.0, 1e5))
+        lam = jnp.where(accept, jnp.maximum(lam * 0.25, 1e-8), jnp.minimum(lam * 4.0, 1e5))
         cost = jnp.where(accept, new_cost, cost)
         return (R, t, lam, cost, active), None
 
-    R, t = R0, t0
+    # project the initial rotation onto SO(3): the motion-model prediction
+    # composes previous solutions and accumulates determinant drift that the
+    # solver itself cannot remove (see lie.so3_project)
+    R, t = lie.so3_project(R0), t0
     active = valid
     for _ in range(max(rounds, 1)):
         cost0 = cost_fn(R, t, active)
         (R, t, _, cost, _), _ = jax.lax.scan(
-            step, (R, t, jnp.asarray(1e-3, R0.dtype), cost0, active), None, length=max_iters
+            step, (R, t, jnp.asarray(1e-4, R0.dtype), cost0, active), None, length=max_iters
         )
+        R = lie.so3_project(R)
         # re-classify: outliers leave, returners re-enter (orig ORB-SLAM2 scheme)
         r, Xc, behind = residuals(R, t)
         chi2 = inv_sigma2 * jnp.sum(r * r, axis=-1)
@@ -292,13 +304,17 @@ def bundle_adjustment(
         (Rp, tp, pts, _, cost, _), _ = jax.lax.scan(body, init, None, length=n_iters)
         return Rp, tp, pts, cost
 
-    # pass 1: robust
-    R1, t1, pts1, _ = run_pass(R, t, points, obs_valid, True, iters_huber)
+    # pass 1: robust (pose rotations projected to SO(3) at entry/exit — BA
+    # output feeds keyframe poses and triangulation; determinant drift there
+    # compounds into monocular scale runaway, see lie.so3_project)
+    R1, t1, pts1, _ = run_pass(lie.so3_project(R), t, points, obs_valid, True, iters_huber)
+    R1 = lie.so3_project(R1)
     # trim outliers (reference erase pass, CeresOptimizer.cc:531-556)
     s, _, Xc = chi2_of(R1, t1, pts1)
     keep = obs_valid & (s <= chi2_th) & (Xc[..., 2] > 1e-6)
     # pass 2: quadratic on survivors
     R2, t2, pts2, cost = run_pass(R1, t1, pts1, keep, False, iters_trimmed)
+    R2 = lie.so3_project(R2)
     s_final, _, Xc2 = chi2_of(R2, t2, pts2)
     inlier_obs = obs_valid & (s_final <= chi2_th) & (Xc2[..., 2] > 1e-6)
     return BAResult(R=R2, t=t2, points=pts2, inlier_obs=inlier_obs, cost=cost)

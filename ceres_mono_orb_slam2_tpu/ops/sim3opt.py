@@ -113,10 +113,12 @@ def optimize_sim3(
         return (R, t, s, lam, cost), None
 
     s0 = jnp.asarray(s0, jnp.float32)
+    R0 = lie.so3_project(R0)
     cost0 = cost_fn(R0, t0, s0)
     (R, t, s, _, _), _ = jax.lax.scan(
         step, (R0, t0, s0, jnp.asarray(1e-3, jnp.float32), cost0), None, length=max_iters
     )
+    R = lie.so3_project(R)
     r1, r2, _, _ = residuals(R, t, s)
     c1 = inv_sigma1 * jnp.sum(r1 * r1, -1)
     c2 = inv_sigma2 * jnp.sum(r2 * r2, -1)
@@ -244,4 +246,4 @@ def optimize_essential_graph(
     (R, t, s, _, cost), _ = jax.lax.scan(
         gn_step, (R, t, s, jnp.asarray(1e-4, R.dtype), cost0), None, length=gn_iters
     )
-    return EssentialGraphResult(R=R, t=t, s=s, cost=cost)
+    return EssentialGraphResult(R=lie.so3_project(R), t=t, s=s, cost=cost)

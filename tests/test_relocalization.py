@@ -45,3 +45,29 @@ def test_kidnap_relocalization(rng):
     c_reloc = -T[:3, :3].T @ T[:3, 3]
     c_orig = -poses[5][:3, :3].T @ poses[5][:3, 3]
     assert np.linalg.norm(c_reloc - c_orig) < 0.02, (c_reloc, c_orig)
+
+    # save -> load into a FRESH system -> relocalize in localization-only
+    # mode (the map-reuse capability the reference left as TODO,
+    # MonoORBSlam.h:78-81)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "map.npz")
+        slam.save_map(path)
+
+        slam2 = MonoSLAM(cfg, vocabulary=voc)
+        slam2.load_map(path)
+        assert slam2.map.n_keyframes() == slam.map.n_keyframes()
+        assert slam2.map.n_map_points() == slam.map.n_map_points()
+        assert slam2.keyframe_db.inverted, "BoW index not rebuilt on load"
+        # loaded keyframes carry full payloads (descriptors, keypoints)
+        any_kf = next(iter(slam2.map.keyframes.values()))
+        assert any_kf.desc.shape[-1] == 32 and any_kf.kp_und.shape[-1] == 2
+        assert any_kf.mp_ids.max() >= 0, "observations not restored"
+
+        slam2.activate_localization_mode()
+        slam2.tracker.state = State.LOST
+        T2 = slam2.track_monocular(seq.images[5], 99.0)
+        assert T2 is not None, "relocalization from loaded map failed"
+        c2 = -T2[:3, :3].T @ T2[:3, 3]
+        assert np.linalg.norm(c2 - c_orig) < 0.02, (c2, c_orig)

@@ -25,11 +25,10 @@ def small_config():
 
 @pytest.fixture(scope="module")
 def slam_run():
-    # TODO(stability): extend back to 25+ frames once the frame-14 tracking
-    # divergence (association aliasing feedback under sustained strafe) is
-    # resolved; 12 frames exercises init + motion-model + local-map tracking +
-    # triangulation + fusion + local BA and holds ATE ~0.5% of trajectory.
-    seq = make_sequence(n_frames=13, seed=11, motion="strafe", step=0.12)
+    # 40 frames of sustained strafe: crosses the old frame-~14 divergence
+    # (root cause: f32 rotation determinant drift compounding through the
+    # constant-velocity model; fixed by SO(3) projection — lie.so3_project)
+    seq = make_sequence(n_frames=40, seed=11, motion="strafe", step=0.12)
     slam = MonoSLAM(small_config())
     poses = []
     for k in range(seq.n_frames):
@@ -68,7 +67,8 @@ def test_trajectory_accuracy(slam_run):
     est, gt = np.stack(est), np.stack(gt)
     rmse = ate_rmse(est, gt)
     traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
-    assert rmse < 0.05 * traj_len, (rmse, traj_len)
+    # long-run bar (VERDICT r1 next-step #1): ATE < 1% of trajectory length
+    assert rmse < 0.01 * traj_len, (rmse, traj_len)
 
 
 def test_covisibility_graph_consistency(slam_run):

@@ -131,6 +131,12 @@ def main():
     ap.add_argument("--no-fuse", action="store_true")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--max-local-kfs", type=int, default=12)
+    ap.add_argument("--max-ba-points", type=int, default=1024)
+    ap.add_argument("--max-ba-obs", type=int, default=4096)
+    ap.add_argument("--pose-rounds", type=int, default=None,
+                    help="override pose-opt trimming rounds")
+    ap.add_argument("--dump-solves", default=None,
+                    help="directory to dump per-call pose-solve inputs")
     args = ap.parse_args()
 
     h, w = 480, 640
@@ -139,7 +145,7 @@ def main():
         orb=ORBConfig(n_features=args.features),
         shapes=StaticShapes(
             max_local_points=2048, max_local_keyframes=args.max_local_kfs,
-            max_ba_points=1024, max_ba_obs=4096,
+            max_ba_points=args.max_ba_points, max_ba_obs=args.max_ba_obs,
         ),
     )
     rng = np.random.default_rng(args.seed)
@@ -153,6 +159,12 @@ def main():
         px_noise=args.px_noise, bit_noise=args.bit_noise, seed=args.seed,
     )
     tr = slam.tracker
+    if args.pose_rounds is not None:
+        import functools
+        from ceres_mono_orb_slam2_tpu.ops import optim as _optim
+
+        orig_po = _optim.pose_optimization
+        _optim.pose_optimization = functools.partial(orig_po, rounds=args.pose_rounds)
     if args.no_velocity:
         tr._track_with_motion_model = lambda: False
     if args.no_new_points:
@@ -164,6 +176,27 @@ def main():
     if args.no_culling:
         slam.local_mapper._map_point_culling = lambda kf: None
         slam.local_mapper._keyframe_culling = lambda kf: None
+    if args.dump_solves:
+        os.makedirs(args.dump_solves, exist_ok=True)
+        orig_opt = tr._pose_optimize
+        counter = [0, -1]
+
+        def dumping_opt(frame):
+            pos, ok = tr._gather_frame_points(frame)
+            k = tr.extractor.last_frame_idx
+            if counter[1] != k:
+                counter[0] = 0
+                counter[1] = k
+            np.savez(
+                os.path.join(args.dump_solves, f"f{k:03d}_c{counter[0]}.npz"),
+                pos=pos, ok=ok, uv=frame.kp_und, octave=frame.kp_octave,
+                Rinit=frame.Rcw, tinit=frame.tcw,
+                Rgt=Rcw[k], tgt=tcw[k], mp_ids=frame.mp_ids,
+            )
+            counter[0] += 1
+            return orig_opt(frame)
+
+        tr._pose_optimize = dumping_opt
 
     gt_c = np.einsum("tij,tj->ti", Rcw.transpose(0, 2, 1), -tcw)
     est_cs, gt_cs = [], []
