@@ -45,9 +45,47 @@ def bench(n_streams: int, iters: int = 30, h: int = 376, w: int = 1241):
     return n_streams / dt  # frames tracked per second (aggregate)
 
 
+def bench_local_ba(iters: int = 20):
+    """Local BA ms/solve at a KITTI-scale local window (BASELINE.md promised
+    metric): 16 keyframes (12 free), 2048 points, 8192 observations, the
+    reference's 5 Huber + 10 trimmed iteration budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from ceres_mono_orb_slam2_tpu.ops import optim
+
+    rng = np.random.default_rng(0)
+    P, M, O = 16, 2048, 8192
+    K = jnp.asarray(np.array([[718.856, 0, 607.19], [0, 718.856, 185.22], [0, 0, 1]], np.float32))
+    pts = np.stack([rng.uniform(-10, 10, M), rng.uniform(-3, 3, M), rng.uniform(5, 40, M)], -1)
+    R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+    t = np.stack([np.array([0.5 * i, 0, 0], np.float32) for i in range(P)])
+    op = rng.integers(0, P, O).astype(np.int32)
+    oj = rng.integers(0, M, O).astype(np.int32)
+    Xc = np.einsum("oij,oj->oi", R[op], pts[oj]) + t[op]
+    Kn = np.asarray(K)
+    ouv = np.stack([Kn[0, 0] * Xc[:, 0] / Xc[:, 2] + Kn[0, 2],
+                    Kn[1, 1] * Xc[:, 1] / Xc[:, 2] + Kn[1, 2]], -1).astype(np.float32)
+    ouv += rng.normal(0, 0.5, ouv.shape).astype(np.float32)
+    fixed = np.zeros(P, bool)
+    fixed[:4] = True
+    args = (K, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts.astype(np.float32)),
+            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv),
+            jnp.ones(O, jnp.float32), jnp.ones(O, bool), jnp.asarray(fixed),
+            jnp.ones(M, bool))
+    res = optim.bundle_adjustment(*args, iters_huber=5, iters_trimmed=10)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = optim.bundle_adjustment(*args, iters_huber=5, iters_trimmed=10)
+    jax.block_until_ready(res)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     fps1 = bench(1)
     fps8 = bench(8, iters=10)
+    ba_ms = bench_local_ba()
     result = {
         "metric": "kitti_res_tracking_step_fps_1stream",
         "value": round(fps1, 2),
@@ -55,6 +93,8 @@ def main():
         "vs_baseline": round(fps1 / 15.0, 2),
         "extra": {
             "fps_8_concurrent_streams_aggregate": round(fps8, 2),
+            "local_ba_ms_per_solve": round(ba_ms, 2),
+            "local_ba_shape": "16 KFs (12 free), 2048 pts, 8192 obs, 5 Huber + 10 trimmed iters",
             "baseline": "KITTI real-time pacing 15 fps (configs/KITTI00-02.yaml); reference publishes no throughput numbers",
             "shape": "376x1241, 2000 features, 4096-point local map",
         },

@@ -167,10 +167,18 @@ class ORBExtractor:
             # Patch "gathers" are contiguous row gathers + one-hot column
             # matmuls (kernels.gather_patches): per-element 2D gathers
             # serialize on TPU (~0.3% of HBM bandwidth).
-            p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
-                img_l, safe_y, safe_x
-            )  # (B, n, 31, 31)
+            # The barrier stops XLA from fusing the blur convolution and the
+            # NMS/select producers INTO the gather's one-hot contraction —
+            # that "convolution_select_fusion" re-evaluated the upstream per
+            # output tile and cost ~28 ms/frame (the KNOWN_ISSUES #2
+            # composition overhead; the same contraction runs in 0.02 ms
+            # against materialized inputs).
             blurred = kernels.gaussian_blur7(img_l)
+            img_lb, blurred, safe_y, safe_x = jax.lax.optimization_barrier(
+                (img_l, blurred, safe_y, safe_x))
+            p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
+                img_lb, safe_y, safe_x
+            )  # (B, n, 31, 31)
             p39 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, DESC_R))(
                 blurred, safe_y, safe_x
             )  # (B, n, 39, 39)
@@ -194,6 +202,12 @@ class ORBExtractor:
             valid = jnp.concatenate([o[3] for o in outs], axis=1)
             p31 = jnp.concatenate([o[4] for o in outs], axis=1)  # (B, N, 31, 31)
             p39 = jnp.concatenate([o[5] for o in outs], axis=1)  # (B, N, 39, 39)
+            # Materialize the patch blocks before the descriptor matmuls:
+            # without the barrier XLA fuses the per-level patch gathers into
+            # the (A*512, 1521) tap contraction's operand and re-executes
+            # them per MXU tile — the composed jit cost 36 ms while every
+            # stage measured <5 ms standalone (KNOWN_ISSUES #2).
+            p31, p39 = jax.lax.optimization_barrier((p31, p39))
             N = p31.shape[1]
 
             # IC-angle: one moment matmul for the whole frame. (A dense moment

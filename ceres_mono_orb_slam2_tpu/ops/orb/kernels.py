@@ -98,24 +98,31 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
 
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """Separable 7x7 Gaussian blur (reference blurs with GaussianBlur(7,7,2,2)
-    before computing descriptors, ORBextractor.cc:1034)."""
+    before computing descriptors, ORBextractor.cc:1034).
+
+    Implemented as shift-and-add on the VPU: a single-channel
+    conv_general_dilated is catastrophic on TPU (the MXU path needs channel
+    depth; the two 1-channel convs per pyramid level were ~28 of the
+    extractor's 36 ms/frame — the KNOWN_ISSUES #2 'composition overhead').
+    """
     r = 3
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x**2) / (2 * sigma**2))
     k /= k.sum()
-    k = jnp.asarray(k, img.dtype)
-    batch_shape = img.shape[:-2]
     H, W = img.shape[-2], img.shape[-1]
-    x4 = img.reshape((-1, 1, H, W))
-    kv = k.reshape(1, 1, 2 * r + 1, 1)
-    kh = k.reshape(1, 1, 1, 2 * r + 1)
-    pad_cfg_v = [(r, r), (0, 0)]
-    pad_cfg_h = [(0, 0), (r, r)]
-    x4 = jnp.pad(x4, [(0, 0), (0, 0)] + pad_cfg_v, mode="reflect")
-    x4 = jax.lax.conv_general_dilated(x4, kv, (1, 1), "VALID")
-    x4 = jnp.pad(x4, [(0, 0), (0, 0)] + pad_cfg_h, mode="reflect")
-    x4 = jax.lax.conv_general_dilated(x4, kh, (1, 1), "VALID")
-    return x4.reshape(batch_shape + (H, W))
+    pad = [(0, 0)] * (img.ndim - 2) + [(r, r), (r, r)]
+    p = jnp.pad(img, pad, mode="edge")
+
+    def pass_axis(a, axis):
+        out = None
+        for i in range(2 * r + 1):
+            sl = jax.lax.dynamic_slice_in_dim(a, i, a.shape[axis] - 2 * r, axis=axis)
+            term = sl * jnp.asarray(k[i], img.dtype)
+            out = term if out is None else out + term
+        return out
+
+    v = pass_axis(p, img.ndim - 2)  # (..., H, W+2r)
+    return pass_axis(v, img.ndim - 1)  # (..., H, W)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

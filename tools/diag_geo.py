@@ -28,91 +28,14 @@ if os.environ.get("CERES_TPU_POSE_F64"):
 import numpy as np
 
 from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
-from ceres_mono_orb_slam2_tpu.ops.orb.extractor import FrameFeatures
 from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig, StaticShapes
-from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse, make_trajectory
+from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse
 
 import jax.numpy as jnp
 
 
-class GeoWorld:
-    """Random landmark cloud covering the camera's view along the trajectory."""
-
-    def __init__(self, rng, n_landmarks, extent):
-        n = n_landmarks
-        self.pos = np.stack(
-            [
-                rng.uniform(-6.0, extent + 6.0, n),
-                rng.uniform(-4.0, 4.0, n),
-                rng.uniform(3.5, 11.0, n),
-            ],
-            axis=-1,
-        ).astype(np.float64)
-        self.desc = rng.integers(0, 256, (n, 32), dtype=np.uint8)
-
-
-class GeoExtractor:
-    """Drop-in for ORBExtractor: 'image' is a (H, W) array whose [0, 0] pixel
-    encodes the frame index; returns projections of the landmark cloud under
-    the GT pose for that frame."""
-
-    def __init__(self, world: GeoWorld, K, Rcw, tcw, n_features, h, w,
-                 px_noise=0.3, bit_noise=2, seed=0):
-        self.world = world
-        self.K = K
-        self.Rcw = Rcw
-        self.tcw = tcw
-        self.n = n_features
-        self.h, self.w = h, w
-        self.px_noise = px_noise
-        self.bit_noise = bit_noise
-        self.rng = np.random.default_rng(seed + 1000)
-
-    def extract(self, image):
-        if image.ndim == 3:
-            image = image[0]
-        k = int(round(float(image[0, 0])))
-        self.last_frame_idx = k
-        R, t = self.Rcw[k].astype(np.float64), self.tcw[k].astype(np.float64)
-        Xc = self.world.pos @ R.T + t
-        z = Xc[:, 2]
-        fx, fy = self.K[0, 0], self.K[1, 1]
-        cx, cy = self.K[0, 2], self.K[1, 2]
-        u = fx * Xc[:, 0] / np.maximum(z, 1e-9) + cx
-        v = fy * Xc[:, 1] / np.maximum(z, 1e-9) + cy
-        vis = (z > 0.3) & (u >= 20) & (u < self.w - 20) & (v >= 20) & (v < self.h - 20)
-        ids = np.nonzero(vis)[0]
-        if len(ids) > self.n:
-            ids = self.rng.permutation(ids)[: self.n]
-        m = len(ids)
-        N = self.n
-        xy = np.zeros((N, 2), np.float32)
-        desc = np.zeros((N, 32), np.uint8)
-        valid = np.zeros(N, bool)
-        xy[:m, 0] = u[ids] + self.rng.normal(0, self.px_noise, m)
-        xy[:m, 1] = v[ids] + self.rng.normal(0, self.px_noise, m)
-        # record keypoint-slot -> landmark-id for GT diagnostics
-        slot_lm = np.full(N, -1, np.int64)
-        slot_lm[:m] = ids
-        if not hasattr(self, "slot_lm_by_frame"):
-            self.slot_lm_by_frame = {}
-        self.slot_lm_by_frame[k] = slot_lm
-        desc[:m] = self.world.desc[ids]
-        if self.bit_noise > 0:
-            for q in range(m):
-                for _ in range(self.bit_noise):
-                    b = self.rng.integers(0, 256)
-                    desc[q, b // 8] ^= 1 << (b % 8)
-        valid[:m] = True
-        feats = FrameFeatures(
-            xy=jnp.asarray(xy[None]),
-            response=jnp.asarray(np.full((1, N), 30.0, np.float32)),
-            angle=jnp.asarray(np.zeros((1, N), np.float32)),
-            octave=jnp.asarray(np.zeros((1, N), np.int32)),
-            desc=jnp.asarray(desc[None]),
-            valid=jnp.asarray(valid[None]),
-        )
-        return feats
+from ceres_mono_orb_slam2_tpu.utils.geosim import (  # noqa: E402
+    GeoExtractor, GeoWorld, frame_image, make_geo_trajectory)
 
 
 def main():
@@ -135,6 +58,8 @@ def main():
     ap.add_argument("--max-ba-obs", type=int, default=4096)
     ap.add_argument("--pose-rounds", type=int, default=None,
                     help="override pose-opt trimming rounds")
+    ap.add_argument("--vocab", action="store_true",
+                    help="train a BoW vocabulary (enables loop closing)")
     ap.add_argument("--dump-solves", default=None,
                     help="directory to dump per-call pose-solve inputs")
     args = ap.parse_args()
@@ -149,11 +74,17 @@ def main():
         ),
     )
     rng = np.random.default_rng(args.seed)
-    Rcw, tcw = make_trajectory(args.frames, args.motion, args.step)
+    Rcw, tcw = make_geo_trajectory(args.frames, args.motion, args.step)
     extent = max(args.frames * args.step * 1.5, 10.0)
-    world = GeoWorld(rng, args.landmarks, extent)
+    world = GeoWorld(rng, args.landmarks, extent,
+                     shape="ring" if args.motion == "circle" else "box")
 
-    slam = MonoSLAM(cfg)
+    voc = None
+    if args.vocab:
+        from ceres_mono_orb_slam2_tpu.ops import bow
+
+        voc = bow.train_vocabulary(world.desc[:2000], k=8, levels=3, seed=0)
+    slam = MonoSLAM(cfg, vocabulary=voc)
     slam.tracker.extractor = GeoExtractor(
         world, cfg.camera.K, Rcw, tcw, args.features, h, w,
         px_noise=args.px_noise, bit_noise=args.bit_noise, seed=args.seed,
@@ -283,6 +214,8 @@ def main():
         traj = np.linalg.norm(np.diff(np.stack(gt_cs), axis=0), axis=1).sum()
         print("\nfinal ATE (sim3-aligned):", ate_rmse(np.stack(est_cs), np.stack(gt_cs)))
         print("trajectory length:", traj)
+    if slam.loop_closer is not None:
+        print("loops closed:", slam.loop_closer.n_loops_closed)
 
 
 if __name__ == "__main__":
