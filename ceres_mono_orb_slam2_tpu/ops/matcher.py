@@ -18,6 +18,7 @@ viewing-cos radius 2.5/4.0 (RadiusByViewingCos, :121-126).
 from __future__ import annotations
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,6 +132,7 @@ def radius_by_viewing_cos(view_cos):
 # --------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("th", "ratio"))
 def search_by_projection_points(
     kp_xy,  # (N, 2) frame keypoints (undistorted)
     kp_octave,  # (N,) int32
@@ -169,6 +171,7 @@ def search_by_projection_points(
     return best_idx, best_val, valid
 
 
+@partial(jax.jit, static_argnames=("th", "check_rotation", "dist_th"))
 def search_by_projection_frame(
     kp_xy, kp_octave, kp_angle, kp_bits, kp_valid,
     pr_uv, pr_octave, pr_angle, pr_bits, pr_valid,
@@ -198,6 +201,7 @@ def search_by_projection_frame(
     return best_idx, best_val, valid
 
 
+@partial(jax.jit, static_argnames=("window", "ratio", "check_rotation"))
 def search_for_initialization(
     xy1, angle1, bits1, valid1, octave1,
     xy2, angle2, bits2, valid2, octave2,
@@ -232,6 +236,7 @@ def search_for_initialization(
     return best_idx, best_val, valid
 
 
+@partial(jax.jit, static_argnames=("ratio", "check_rotation", "dist_th"))
 def search_by_descriptor(
     angle_q, bits_q, valid_q,
     angle_t, bits_t, valid_t,
@@ -257,6 +262,7 @@ def search_by_descriptor(
     return best_idx, best_val, valid
 
 
+@partial(jax.jit, static_argnames=("check_rotation",))
 def search_for_triangulation(
     xy1, octave1, angle1, bits1, valid1,  # keyframe 1 keypoints (undistorted)
     xy2, octave2, angle2, bits2, valid2,  # keyframe 2 keypoints
@@ -303,6 +309,7 @@ def search_for_triangulation(
     return best_idx, best_val, valid
 
 
+@partial(jax.jit, static_argnames=("th", "dist_th"))
 def search_fuse(
     kp_xy, kp_octave, kp_bits, kp_valid,
     pr_uv, pr_level, pr_bits, pr_valid,

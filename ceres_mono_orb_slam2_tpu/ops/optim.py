@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.ops import lie
@@ -71,6 +72,7 @@ import os as _os
 _POSE_F64 = bool(_os.environ.get("CERES_TPU_POSE_F64"))  # numerical diagnostic
 
 
+@partial(jax.jit, static_argnames=("max_iters", "chi2_th", "rounds"))
 def pose_optimization(
     K,
     R0,
@@ -177,6 +179,7 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("iters_huber", "iters_trimmed", "chi2_th"))
 def bundle_adjustment(
     K,
     R,  # (P, 3, 3) world->camera

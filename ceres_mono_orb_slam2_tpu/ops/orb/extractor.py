@@ -124,12 +124,6 @@ class ORBExtractor:
             tables.append((ry + DESC_R) * side + (rx + DESC_R))
         tab = np.stack(tables)  # (A, 512)
         self._bin_tap_table = jnp.asarray(tab)
-        # one-hot tap matrix: ALL bins' samples as ONE MXU matmul
-        # (TPU gathers serialize; a 15360x1521 constant dot streams at full
-        # MXU rate). bf16 is exact for the 0/1 selector.
-        onehot = np.zeros((N_ANGLE_BINS * 512, side * side), np.float32)
-        onehot[np.arange(N_ANGLE_BINS * 512), tab.reshape(-1)] = 1.0
-        self._tap_onehot = jnp.asarray(onehot, jnp.bfloat16)
         self._extract_jit = functools.lru_cache(maxsize=8)(self._build)
 
     def _build(self, h: int, w: int):
@@ -137,7 +131,7 @@ class ORBExtractor:
         sizes = _level_sizes(h, w, cfg.n_levels, cfg.scale_factor)
         per_level = [int(n) for n in self.features_per_level]
         scales = [float(s) for s in self.scale_factors]
-        tap_onehot = self._tap_onehot  # (A*512, 1521) bf16
+        tap_table = self._bin_tap_table  # (A, 512) compile-time-constant indices
 
         byte_weights = jnp.asarray(1 << np.arange(8, dtype=np.uint32), jnp.uint32)
         side2 = (2 * DESC_R + 1) ** 2
@@ -221,25 +215,28 @@ class ORBExtractor:
             angle = jnp.arctan2(m_both[:, 1], m_both[:, 0])
 
             # rBRIEF, rotation quantized to N_ANGLE_BINS (12 deg, the
-            # ORB-paper lookup scheme): ALL bins' taps as ONE MXU matmul with
-            # a constant one-hot matrix (bf16 is exact for 8-bit content),
-            # bit packing, then a one-hot bin select (gathers/transposes with
-            # a 32-wide minor dim lower catastrophically on TPU).
-            pfT = p39.reshape(B * N, side2).T  # (1521, B*N)
-            rows_all = jax.lax.dot(
-                tap_onehot, pfT.astype(jnp.bfloat16), precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            ).reshape(N_ANGLE_BINS, 512, B * N)
-            bits = (rows_all[:, 0::2] < rows_all[:, 1::2]).astype(jnp.uint32)  # (A, 256, B*N)
-            all_bins = jnp.sum(
-                bits.reshape(N_ANGLE_BINS, 32, 8, B * N) * byte_weights[None, None, :, None], axis=2
-            ).astype(jnp.float32)  # (A, 32, B*N)
+            # ORB-paper lookup scheme). The per-bin tap tables are
+            # compile-time CONSTANT index sets, so selecting every bin's 512
+            # samples is a static permutation copy (jnp.take) that streams at
+            # HBM bandwidth — unlike dynamic per-keypoint gathers (serialize)
+            # or a (A*512, 1521) one-hot matmul (93 GFLOP of 97% waste, the
+            # previous design: ~3 ms single / ~17 ms at 8 streams). Patches
+            # quantize to uint8 first: 4x less traffic, and the reference
+            # compares *integer* blurred-image values anyway
+            # (computeOrbDescriptor on the u8 blurred mat, ORBextractor.cc:108).
+            pf8 = jnp.clip(p39.reshape(B * N, side2) + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            sel = jnp.take(pf8, tap_table.reshape(-1), axis=1).reshape(
+                B * N, N_ANGLE_BINS, 512)
+            bits = (sel[:, :, 0::2] < sel[:, :, 1::2]).astype(jnp.uint32)  # (BN, A, 256)
+            packed = jnp.sum(
+                bits.reshape(B * N, N_ANGLE_BINS, 32, 8) * byte_weights[None, None, None, :],
+                axis=3,
+            )  # (BN, A, 32)
             two_pi = 2.0 * np.pi
             bin_idx = jnp.round(jnp.mod(angle, two_pi) / (two_pi / N_ANGLE_BINS)).astype(jnp.int32)
             bin_idx = jnp.mod(bin_idx, N_ANGLE_BINS)
-            onehot = jax.nn.one_hot(bin_idx, N_ANGLE_BINS, dtype=jnp.float32).T  # (A, B*N)
-            desc = jnp.einsum("abn,an->bn", all_bins, onehot)  # (32, B*N)
-            desc = desc.astype(jnp.uint8).T.reshape(B, N, 32)
+            desc = jnp.take_along_axis(packed, bin_idx[:, None, None], axis=1)[:, 0]
+            desc = desc.astype(jnp.uint8).reshape(B, N, 32)
 
             return FrameFeatures(
                 xy=xy, response=resp, angle=angle.reshape(B, N), octave=octave,

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 
@@ -66,6 +67,7 @@ class PnPResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("n_hypotheses", "min_set", "chi2_th", "min_inliers"))
 def ransac_pnp(
     key,
     K,

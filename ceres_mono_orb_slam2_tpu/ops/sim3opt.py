@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.ops import lie
@@ -33,6 +34,7 @@ class Sim3Result(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("max_iters", "chi2_th"))
 def optimize_sim3(
     K1,
     K2,

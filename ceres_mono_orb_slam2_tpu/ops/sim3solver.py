@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 
@@ -75,6 +76,10 @@ class Sim3RansacResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+# NOTE deliberately not jitted: under jit the batched 4x4 eigh lowers through
+# a different path whose eigenvector signs/ordering perturb the Horn seed
+# enough to flip borderline RANSAC inlier sets; this runs once per loop
+# candidate (not hot), so dispatch overhead is irrelevant.
 def ransac_sim3(
     key,
     K1,

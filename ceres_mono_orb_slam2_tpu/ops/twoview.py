@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 CHI2_H = 5.991
@@ -135,6 +136,7 @@ def _score_fundamental(F21, xy1, xy2, valid, sigma2: float = 1.0):
     return score, valid & ok1 & ok2
 
 
+@jax.jit
 def triangulate_dlt(P1, P2, xy1, xy2):
     """Linear triangulation (reference Triangulate, Initializer.cc:697-...):
     P1, P2 (..., 3, 4) projection matrices; xy (..., 2). Returns (..., 3)."""
@@ -309,6 +311,7 @@ class InitResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("n_hypotheses", "sigma"))
 def initialize_two_view(
     key,
     K,
