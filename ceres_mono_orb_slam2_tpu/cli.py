@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, help="run on N synthetic frames instead of --images")
     ap.add_argument("--localization", action="store_true", help="localization-only mode")
     ap.add_argument("--viewer", action="store_true", help="save periodic map snapshots")
+    ap.add_argument("--threaded", action="store_true",
+                    help="run mapping/loop-closing on a worker thread (reference architecture)")
+    ap.add_argument("--stats-out", help="write per-frame structured stats as JSONL")
+    ap.add_argument("--profile-dir", help="capture a jax profiler trace of the run")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
@@ -85,9 +89,17 @@ def main(argv=None):
 
         vocabulary = parse_orbvoc_text(args.voc)
 
-    slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer)
+    slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer,
+                    threaded=args.threaded)
     if args.localization:
         slam.activate_localization_mode()
+
+    profiler_ctx = None
+    if args.profile_dir:
+        import jax
+
+        profiler_ctx = jax.profiler.trace(args.profile_dir)
+        profiler_ctx.__enter__()
 
     track_times = []
     last_ts = None
@@ -105,6 +117,9 @@ def main(argv=None):
         last_ts = ts
 
     slam.shutdown()
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
+        print("profiler trace written to", args.profile_dir)
     tt = np.sort(np.array(track_times))
     # reference prints median and mean tracking time at exit (main.cc:111-118)
     print("-------")
@@ -117,6 +132,13 @@ def main(argv=None):
     slam.save_keyframe_trajectory_tum(os.path.join(args.output_dir, "KeyFrameTrajectory.txt"))
     slam.save_frame_trajectory_tum(os.path.join(args.output_dir, "FrameTrajectory.txt"))
     slam.save_map(os.path.join(args.output_dir, "map.npz"))
+    if args.stats_out:
+        import json
+
+        with open(args.stats_out, "w") as f:
+            for rec in slam.tracker.frame_stats:
+                f.write(json.dumps(rec) + "\n")
+        print("per-frame stats written to", args.stats_out)
     return 0
 
 

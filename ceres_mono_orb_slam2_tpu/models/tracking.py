@@ -71,6 +71,7 @@ class Tracking:
         self.max_frames = int(cam.fps)
         self.min_frames = 0
         self.localization_only = False
+        self.do_vo = False  # reference do_vo_: weak map tracking in localization mode
         self._key = jax.random.PRNGKey(0)
 
         # per-frame trajectory log: (ref_kf_id, R_rel, t_rel, timestamp, lost)
@@ -127,15 +128,10 @@ class Tracking:
             return
 
         ok = False
-        if self.state == State.OK and not self.localization_only:
+        if self.localization_only:
+            ok = self._tracking_with_known_map()
+        elif self.state == State.OK:
             self._check_replaced_in_last_frame()
-            if self.velocity is not None:
-                ok = self._track_with_motion_model()
-                self._stat["method"] = "motion"
-            if not ok:
-                ok = self._track_reference_keyframe()
-                self._stat["method"] = "refkf"
-        elif self.state == State.OK and self.localization_only:
             if self.velocity is not None:
                 ok = self._track_with_motion_model()
                 self._stat["method"] = "motion"
@@ -147,7 +143,10 @@ class Tracking:
             self._stat["method"] = "reloc"
 
         self._stat["inliers_frame"] = self.matches_inliers if ok else 0
-        if ok and not (self.localization_only and self.state == State.LOST):
+        # in localization mode, skip the local map while in visual-odometry
+        # fallback (reference Tracking.cc:296-301: 'do_vo_ true means ... we
+        # do not perform TrackLocalMap')
+        if ok and not (self.localization_only and self.do_vo):
             ok = self._track_local_map()
         self._stat["inliers_local"] = self.matches_inliers
         self._stat["ok"] = bool(ok)
@@ -385,7 +384,52 @@ class Tracking:
         self.matches_inliers = self._pose_optimize(f)
         f.mp_ids[f.outlier] = -1
         f.outlier[:] = False
+        if self.localization_only:
+            # reference Tracking.cc:665-669: flag weak map tracking (mono has
+            # no depth so no literal VO points; the do_vo recovery state
+            # machine is what carries over)
+            self.do_vo = self.matches_inliers < 10
+            return self.matches_inliers > 20
         return self.matches_inliers >= 10
+
+    def _tracking_with_known_map(self) -> bool:
+        """Reference TrackingWithKnownMap (Tracking.cc:185-236): the
+        localization-only state machine with the mbVO recovery branch — when
+        the last frame tracked too few map points (do_vo), compute BOTH a
+        motion-model pose and a relocalization; a successful relocalization
+        wins and re-enables local-map tracking."""
+        f = self.current
+        if self.state == State.LOST:
+            ok = self._relocalization()
+            self._stat["method"] = "reloc"
+            if ok:
+                self.do_vo = False
+            return ok
+        if not self.do_vo:
+            if self.velocity is not None:
+                self._stat["method"] = "motion"
+                return self._track_with_motion_model()
+            self._stat["method"] = "refkf"
+            return self._track_reference_keyframe()
+        # do_vo: dual-track (reference :199-235)
+        self._stat["method"] = "vo-dual"
+        mm_ok = False
+        mm_state = None
+        if self.velocity is not None:
+            mm_ok = self._track_with_motion_model()
+            mm_state = (f.Rcw.copy(), f.tcw.copy(), f.mp_ids.copy(), f.outlier.copy())
+        reloc_ok = self._relocalization()
+        if mm_ok and not reloc_ok:
+            f.set_pose(mm_state[0], mm_state[1])
+            f.mp_ids[:] = mm_state[2]
+            f.outlier[:] = mm_state[3]
+            for i in np.nonzero((f.mp_ids >= 0) & ~f.outlier)[0]:
+                mp = self.map.get_mp(int(f.mp_ids[i]))
+                if mp is not None:
+                    mp.n_found += 1
+        elif reloc_ok:
+            self.do_vo = False
+        return reloc_ok or mm_ok
 
     def _track_reference_keyframe(self) -> bool:
         """Reference TrackReferenceKeyFrame (Tracking.cc:566-607)."""
@@ -720,6 +764,7 @@ class Tracking:
         self.state = State.NOT_INITIALIZED
         self.last_frame = None
         self.velocity = None
+        self.do_vo = False
         self.ref_kf_id = None
         self.init_ref = None
         self.last_kf_id = -1

@@ -71,3 +71,10 @@ def test_kidnap_relocalization(rng):
         assert T2 is not None, "relocalization from loaded map failed"
         c2 = -T2[:3, :3].T @ T2[:3, 3]
         assert np.linalg.norm(c2 - c_orig) < 0.02, (c2, c_orig)
+        # keep tracking in localization mode (TrackingWithKnownMap motion
+        # path, reference Tracking.cc:185-236); the map must stay frozen
+        n_kfs = slam2.map.n_keyframes()
+        for k in (6, 7, 8):
+            Tk = slam2.track_monocular(seq.images[k], 99.0 + k)
+            assert Tk is not None, f"localization-only tracking lost at {k}"
+        assert slam2.map.n_keyframes() == n_kfs, "localization mode must not map"
