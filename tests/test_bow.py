@@ -151,3 +151,52 @@ def test_keyframe_database_queries(rng):
     m.keyframes[11] = kf_new2
     loops2 = db.detect_loop_candidates(kf_new2, min_score=0.01)
     assert 1 not in loops2
+
+
+def test_orbvoc_text_roundtrip(rng, tmp_path):
+    """KNOWN_ISSUES r1 #4: the ORBvoc.txt parser had never been exercised.
+    Serialize a trained vocabulary in the standard DBoW2 text format
+    (TemplatedVocabulary::saveToTextFile layout: header 'k L scoring
+    weighting', then per node 'parent is_leaf d0..d31 weight') and verify the
+    parsed tree produces identical word assignments and scores."""
+    from ceres_mono_orb_slam2_tpu.ops import bow, matcher
+    import jax.numpy as jnp
+
+    descs = rng.integers(0, 256, (600, 32), dtype=np.uint8)
+    voc = bow.train_vocabulary(descs, k=6, levels=3, seed=1)
+
+    # derive parent pointers from the children table
+    n = len(voc.node_desc)
+    parent = np.zeros(n, np.int64)
+    for i in range(n):
+        for c in voc.children[i]:
+            if c >= 0:
+                parent[c] = i
+    # per-node weight: word weight for leaves, 0 for inner nodes
+    wt = np.zeros(n, np.float64)
+    for i in range(n):
+        if voc.is_leaf[i] and voc.word_id[i] >= 0:
+            wt[i] = voc.word_weight[voc.word_id[i]]
+    path = tmp_path / "ORBvoc.txt"
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.levels} 0 0\n")
+        for i in range(1, n):
+            d = " ".join(str(int(x)) for x in voc.node_desc[i])
+            f.write(f"{parent[i]} {int(voc.is_leaf[i])} {d} {wt[i]:.6f}\n")
+
+    voc2 = bow.parse_orbvoc_text(str(path))
+    assert voc2.n_words == voc.n_words
+    np.testing.assert_array_equal(voc2.node_desc, voc.node_desc)
+    np.testing.assert_array_equal(voc2.is_leaf, voc.is_leaf)
+    np.testing.assert_array_equal(voc2.word_id, voc.word_id)
+
+    # identical word assignment for fresh descriptors through both trees
+    q = rng.integers(0, 256, (150, 32), dtype=np.uint8)
+    bits = matcher.unpack_bits_pm1(jnp.asarray(q))
+    valid = jnp.ones(150, bool)
+    w1, _ = bow.make_transform_fn(voc)(bits, valid)
+    w2, _ = bow.make_transform_fn(voc2)(bits, valid)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    v1 = bow.bow_vector(np.asarray(w1), voc.word_weight, voc.n_words)
+    v2 = bow.bow_vector(np.asarray(w2), voc2.word_weight, voc2.n_words)
+    assert abs(bow.l1_score(v1, v2) - 1.0) < 1e-6
