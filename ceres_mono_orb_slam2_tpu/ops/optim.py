@@ -51,6 +51,56 @@ def _proj_jacobian(K, Xc):
     return jnp.stack([row0, row1], axis=-2)
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on a (M, 3, 3) batch lowers to an LU custom-call that
+    dominates the BA iteration on TPU (~3 ms/iter at M=2048); the cofactor
+    form is pure elementwise VPU work.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A00, A01, A02], axis=-1),
+            jnp.stack([A10, A11, A12], axis=-1),
+            jnp.stack([A20, A21, A22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _solve6_spd(H, g):
+    """Solve H x = g for SPD 6x6 via 2x2-block Schur on 3x3 blocks — avoids
+    the LU custom-call jnp.linalg.solve emits (one per LM iteration in the
+    hot pose solve)."""
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    C = H[..., 3:, 3:]
+    g1 = g[..., :3]
+    g2 = g[..., 3:]
+    Ainv = _inv3x3(A)
+    S = C - jnp.swapaxes(B, -1, -2) @ Ainv @ B
+    Sinv = _inv3x3(S)
+    y1 = (Ainv @ g1[..., None])[..., 0]
+    x2 = (Sinv @ (g2 - (jnp.swapaxes(B, -1, -2) @ y1[..., None])[..., 0])[..., None])[..., 0]
+    x1 = (Ainv @ (g1 - (B @ x2[..., None])[..., 0])[..., None])[..., 0]
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def _project(K, Xc):
     z = Xc[..., 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -139,7 +189,7 @@ def pose_optimization(
         H = jnp.einsum("nik,n,nil->kl", Jr, w, Jr)
         g = -jnp.einsum("nik,n,ni->k", Jr, w, r)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
-        dx = jnp.linalg.solve(Hd, g)
+        dx = _solve6_spd(Hd, g)
         dR, dt = lie.se3_exp(dx)
         R_new = dR @ R
         t_new = (dR @ t[..., None])[..., 0] + dt
@@ -250,7 +300,7 @@ def bundle_adjustment(
         eye6 = jnp.eye(6, dtype=A.dtype)
         Hll_d = Hll + lam * (Hll * eye3) + 1e-6 * eye3
         Hpp_d = Hpp + lam * (Hpp * eye6) + 1e-6 * eye6
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = _inv3x3(Hll_d)
         Hll_inv = jnp.where(point_valid[:, None, None], Hll_inv, 0.0)
 
         # Schur: S = blockdiag(Hpp) - U Hll^-1 U^T  as one MXU matmul
