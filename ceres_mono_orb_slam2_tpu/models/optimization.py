@@ -63,13 +63,23 @@ def run_global_ba(m, config, loop_kf_id: int, n_iters: int = 50,
     jop, joj = jnp.asarray(op), jnp.asarray(oj)
     jouv, jow = jnp.asarray(ouv), jnp.asarray(ow)
     jov, jfix, jpv = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
+    # beyond ~2M pose-point block pairs the dense Schur cross tensor
+    # (M, P, 6, 3) stops fitting comfortably; switch to the matrix-free
+    # CG solver which is O(P + M + O) in memory at any map size
+    use_cg = Pb * Mb > (1 << 21)
     done = 0
     while done < n_iters:
         it = min(chunk, n_iters - done)
-        res = optim.bundle_adjustment(
-            jK, jR, jt, jpts, jop, joj, jouv, jow, jov, jfix, jpv,
-            iters_huber=it if robust else 0, iters_trimmed=0 if robust else it,
-        )
+        if use_cg:
+            res = optim.bundle_adjustment_cg(
+                jK, jR, jt, jpts, jop, joj, jouv, jow, jov, jfix, jpv,
+                iters=it, cg_iters=50, robust=robust,
+            )
+        else:
+            res = optim.bundle_adjustment(
+                jK, jR, jt, jpts, jop, joj, jouv, jow, jov, jfix, jpv,
+                iters_huber=it if robust else 0, iters_trimmed=0 if robust else it,
+            )
         jR, jt, jpts = res.R, res.t, res.points
         done += it
         if stop_cb is not None and stop_cb():
@@ -170,11 +180,15 @@ def global_bundle_adjustment(m, config, n_iters: int = 20, fixed_kf_ids=None,
     for fid in fixed_kf_ids:
         if fid in kf_slot:
             fixed[kf_slot[fid]] = True
+    # Huber-robust iterations like the reference's GlobalBundleAdjustemnt
+    # (is_robust=true, CeresOptimizer.cc:49-67). iters_huber=0/iters_trimmed=N
+    # would chi2-trim at the INITIAL state and discard exactly the
+    # observations a far-from-optimum map needs.
     res = optim.bundle_adjustment(
         jnp.asarray(config.camera.K), jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
         jnp.asarray(op), jnp.asarray(oj), jnp.asarray(ouv), jnp.asarray(ow),
         jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid),
-        iters_huber=0, iters_trimmed=n_iters,
+        iters_huber=n_iters, iters_trimmed=0,
         stop_flag=None if stop_flag is None else jnp.asarray(stop_flag),
     )
     Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)

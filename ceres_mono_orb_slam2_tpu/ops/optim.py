@@ -371,3 +371,136 @@ def bundle_adjustment(
     s_final, _, Xc2 = chi2_of(R2, t2, pts2)
     inlier_obs = obs_valid & (s_final <= chi2_th) & (Xc2[..., 2] > 1e-6)
     return BAResult(R=R2, t=t2, points=pts2, inlier_obs=inlier_obs, cost=cost)
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "chi2_th", "robust"))
+def bundle_adjustment_cg(
+    K,
+    R,  # (P, 3, 3)
+    t,  # (P, 3)
+    points,  # (M, 3)
+    obs_pose,  # (O,)
+    obs_point,  # (O,)
+    obs_uv,  # (O, 2)
+    obs_inv_sigma2,  # (O,)
+    obs_valid,  # (O,)
+    fixed_pose,  # (P,)
+    point_valid,  # (M,)
+    iters: int = 20,
+    cg_iters: int = 50,
+    chi2_th: float = CHI2_MONO,
+    robust: bool = True,
+) -> BAResult:
+    """Production-scale bundle adjustment: LM with the point block eliminated
+    IMPLICITLY. The dense-Schur path (`bundle_adjustment`) materializes the
+    (M, P, 6, 3) pose-point cross tensor — ideal for local windows, O(M*P)
+    memory for global maps (a KITTI-scale 100k-point / 1k-pose map would need
+    ~7 GB for that tensor alone). Here every Schur product S@v runs
+    observation-wise (two gathers + two scatter-adds over the O axis) and the
+    reduced pose system solves with block-Jacobi preconditioned CG:
+    memory O(P + M + O), any map size. Replaces the reference's
+    CeresOptimizer::BundleAdjustment at global scale (CeresOptimizer.cc:49-225,
+    which relies on Ceres' sparse Schur)."""
+    P = R.shape[0]
+    delta = jnp.sqrt(chi2_th)
+    free = ~fixed_pose
+    free6 = free[:, None]
+
+    def chi2_of(Rp, tp, pts):
+        Xc = (Rp[obs_pose] @ pts[obs_point][..., None])[..., 0] + tp[obs_pose]
+        r = obs_uv - _project(K, Xc)
+        s = obs_inv_sigma2 * jnp.sum(r * r, axis=-1)
+        behind = Xc[..., 2] <= 1e-6
+        return jnp.where(behind, 1e6, s), r, Xc
+
+    def total_cost(Rp, tp, pts):
+        s, _, _ = chi2_of(Rp, tp, pts)
+        c = huber_cost(s, delta) if robust else s
+        return jnp.sum(jnp.where(obs_valid, c, 0.0))
+
+    def lm_iteration(carry, _):
+        Rp, tp, pts, lam, cost = carry
+        s, r, Xc = chi2_of(Rp, tp, pts)
+        w = obs_inv_sigma2 * (huber_weight(s, delta) if robust else 1.0)
+        w = jnp.where(obs_valid & (Xc[..., 2] > 1e-6), w, 0.0)
+
+        Jp = _proj_jacobian(K, Xc)  # (O, 2, 3)
+        A = -jnp.concatenate([Jp, -Jp @ lie.hat(Xc)], axis=-1)  # (O, 2, 6)
+        B = -(Jp @ Rp[obs_pose])  # (O, 2, 3)
+        wA = w[:, None, None] * A
+
+        Hpp = jnp.zeros((P, 6, 6), A.dtype).at[obs_pose].add(jnp.einsum("oik,oil->okl", wA, A))
+        Hll = jnp.zeros((points.shape[0], 3, 3), A.dtype).at[obs_point].add(
+            jnp.einsum("oik,oil->okl", w[:, None, None] * B, B))
+        bp = jnp.zeros((P, 6), A.dtype).at[obs_pose].add(-jnp.einsum("oik,oi->ok", wA, r))
+        bl = jnp.zeros((points.shape[0], 3), A.dtype).at[obs_point].add(
+            -jnp.einsum("oik,oi->ok", w[:, None, None] * B, r))
+
+        eye3 = jnp.eye(3, dtype=A.dtype)
+        eye6 = jnp.eye(6, dtype=A.dtype)
+        Hll_d = Hll + lam * (Hll * eye3) + 1e-6 * eye3
+        Hpp_d = Hpp + lam * (Hpp * eye6) + 1e-6 * eye6
+        Hll_inv = jnp.where(point_valid[:, None, None], _inv3x3(Hll_d), 0.0)
+
+        def WT_v(v):  # (P,6) -> (M,3): sum_o B^T w A v[p_o]
+            u = jnp.einsum("oik,ok->oi", A, v[obs_pose])  # (O,2)
+            y = jnp.einsum("oik,oi->ok", B, w[:, None] * u)  # (O,3)
+            return jnp.zeros_like(bl).at[obs_point].add(y)
+
+        def W_x(x):  # (M,3) -> (P,6)
+            u = jnp.einsum("oik,ok->oi", B, x[obs_point])
+            z = jnp.einsum("oik,oi->ok", A, w[:, None] * u)
+            return jnp.zeros_like(bp).at[obs_pose].add(z)
+
+        def S_v(v):  # implicit Schur matvec; fixed poses pinned to identity
+            v0 = jnp.where(free6, v, 0.0)
+            out = jnp.einsum("pij,pj->pi", Hpp_d, v0) - W_x(
+                jnp.einsum("mij,mj->mi", Hll_inv, WT_v(v0)))
+            return jnp.where(free6, out, v)
+
+        rhs = bp - W_x(jnp.einsum("mij,mj->mi", Hll_inv, bl))
+        rhs = jnp.where(free6, rhs, 0.0)
+
+        def precond(x):  # block-Jacobi: per-pose 6x6 solve
+            return jnp.where(free6, _solve6_spd(Hpp_d, x), x)
+
+        def cg_body(c2, _):
+            x, rr, p, rz = c2
+            Ap = S_v(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            return (x, rr, z + beta * p, rz_new), None
+
+        x0 = jnp.zeros_like(bp)
+        z0 = precond(rhs)
+        (dp, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs, z0, jnp.sum(rhs * z0)), None, length=cg_iters)
+        dp = jnp.where(free6, dp, 0.0)
+        dl = jnp.einsum("mij,mj->mi", Hll_inv, bl - WT_v(dp))
+        dl = jnp.where(point_valid[:, None], dl, 0.0)
+
+        dRp, dtp = lie.se3_exp(dp)
+        R_new = lie.so3_project(dRp @ Rp)
+        t_new = (dRp @ tp[..., None])[..., 0] + dtp
+        pts_new = pts + dl
+        new_cost = total_cost(R_new, t_new, pts_new)
+        accept = new_cost < cost
+        Rp = jnp.where(accept, R_new, Rp)
+        tp = jnp.where(accept, t_new, tp)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(accept, new_cost, cost)
+        return (Rp, tp, pts, lam, cost), None
+
+    cost0 = total_cost(R, t, points)
+    (R2, t2, pts2, _, cost), _ = jax.lax.scan(
+        lm_iteration, (R, t, points, jnp.asarray(1e-4, R.dtype), cost0), None, length=iters)
+    R2 = lie.so3_project(R2)
+    s_final, _, Xc2 = chi2_of(R2, t2, pts2)
+    inlier_obs = obs_valid & (s_final <= chi2_th) & (Xc2[..., 2] > 1e-6)
+    return BAResult(R=R2, t=t2, points=pts2, inlier_obs=inlier_obs, cost=cost)

@@ -164,3 +164,50 @@ def test_bundle_adjustment_fixed_poses_stay_fixed(rng):
     )
     np.testing.assert_allclose(np.asarray(res.R)[:2], Rs[:2], atol=1e-6)
     np.testing.assert_allclose(np.asarray(res.t)[:2], ts[:2], atol=1e-6)
+
+
+def test_bundle_adjustment_cg_matches_dense(rng):
+    """The matrix-free CG path (production scale) must reach the same optimum
+    as the dense-Schur path on a problem both can solve."""
+    import jax.numpy as jnp
+
+    from ceres_mono_orb_slam2_tpu.ops import optim
+
+    P, M, O = 6, 300, 1500
+    K = jnp.asarray(np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32))
+    pts_gt = np.stack([rng.uniform(-3, 3, M), rng.uniform(-2, 2, M), rng.uniform(4, 12, M)], -1)
+    R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+    t = np.stack([np.array([0.4 * i, 0, 0], np.float32) for i in range(P)])
+    op = rng.integers(0, P, O).astype(np.int32)
+    oj = rng.integers(0, M, O).astype(np.int32)
+    Xc = np.einsum("oij,oj->oi", R[op], pts_gt[oj]) + t[op]
+    uv = np.stack([500 * Xc[:, 0] / Xc[:, 2] + 320, 500 * Xc[:, 1] / Xc[:, 2] + 240], -1)
+    uv = (uv + rng.normal(0, 0.3, uv.shape)).astype(np.float32)
+    pts0 = (pts_gt + rng.normal(0, 0.15, pts_gt.shape)).astype(np.float32)
+    t0 = (t + rng.normal(0, 0.05, t.shape)).astype(np.float32)
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+    args = (K, jnp.asarray(R), jnp.asarray(t0), jnp.asarray(pts0),
+            jnp.asarray(op), jnp.asarray(oj), jnp.asarray(uv),
+            jnp.ones(O, jnp.float32), jnp.ones(O, bool), jnp.asarray(fixed),
+            jnp.ones(M, bool))
+    dense = optim.bundle_adjustment(*args, iters_huber=25, iters_trimmed=0)
+    cg = optim.bundle_adjustment_cg(*args, iters=25, cg_iters=60, robust=True)
+
+    # both must cut the cost by >10x and agree on the optimum
+    def cost(res):
+        Xc = np.einsum("oij,oj->oi", np.asarray(res.R)[op], np.asarray(res.points)[oj]) + np.asarray(res.t)[op]
+        pr = np.stack([500 * Xc[:, 0] / Xc[:, 2] + 320, 500 * Xc[:, 1] / Xc[:, 2] + 240], -1)
+        return float(np.sum((pr - uv) ** 2))
+
+    Xc0 = np.einsum("oij,oj->oi", R[op], pts0[oj]) + t0[op]
+    pr0 = np.stack([500 * Xc0[:, 0] / Xc0[:, 2] + 320, 500 * Xc0[:, 1] / Xc0[:, 2] + 240], -1)
+    c_init = float(np.sum((pr0 - uv) ** 2))
+    c_dense, c_cg = cost(dense), cost(cg)
+    assert c_dense < c_init / 10
+    assert c_cg < c_init / 10
+    assert abs(c_cg - c_dense) < 0.15 * c_dense, (c_init, c_dense, c_cg)
+    # camera centers agree between the two solvers
+    cd = np.einsum("pij,pj->pi", np.asarray(dense.R).transpose(0, 2, 1), -np.asarray(dense.t))
+    cc = np.einsum("pij,pj->pi", np.asarray(cg.R).transpose(0, 2, 1), -np.asarray(cg.t))
+    assert np.abs(cd - cc).max() < 0.02, np.abs(cd - cc).max()
