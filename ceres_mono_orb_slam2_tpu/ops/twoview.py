@@ -386,15 +386,27 @@ def initialize_two_view(
     okf, kf, Xf_b, gf_b, nf_b = pick(nf, pf, Xf, gf, n_inl_f, 0.7)
     okh, kh, Xh_b, gh_b, nh_b = pick(nh, ph, Xh, gh, n_inl_h, 0.75)
 
-    success = jnp.where(use_h, okh, okf)
-    R21 = jnp.where(use_h, Rh[kh], Rf[kf])
-    t21 = jnp.where(use_h, th[kh], tf[kf])
-    X = jnp.where(use_h, Xh_b, Xf_b)
-    tri = jnp.where(use_h, gh_b, gf_b)
-    n_inl = jnp.where(use_h, nh_b, nf_b)
+    # Model choice: RH selects the preferred model (reference Initialize,
+    # Initializer.cc:120-130), but unlike the reference we FALL BACK to the
+    # other model when the preferred one fails its own acceptance gates and
+    # the other passes. On near-planar scenes with small baselines RH hovers
+    # just above 0.40 while the Faugeras twofold ambiguity keeps the H
+    # reconstruction permanently rejected (second-best ~0.9x best, observed
+    # on the strafe wall world) — yet the F path has a clean unique winner.
+    # The fallback still demands the full acceptance gate (90% support,
+    # unique winner, parallax), so a degenerate F on a pure plane cannot
+    # sneak through.
+    choose_h = (use_h & okh) | (~use_h & ~okf & okh)
+    choose_f = (~use_h & okf) | (use_h & ~okh & okf)
+    success = choose_h | choose_f
+    R21 = jnp.where(choose_h, Rh[kh], Rf[kf])
+    t21 = jnp.where(choose_h, th[kh], tf[kf])
+    X = jnp.where(choose_h, Xh_b, Xf_b)
+    tri = jnp.where(choose_h, gh_b, gf_b)
+    n_inl = jnp.where(choose_h, nh_b, nf_b)
     return InitResult(
         success=success,
-        used_homography=use_h,
+        used_homography=choose_h,
         R21=R21,
         t21=t21,
         points3d=X,

@@ -212,13 +212,51 @@ def default_world(rng, extent: float = 20.0) -> List[Plane]:
     return planes
 
 
+def ring_world(rng, radius: float = 8.0) -> List[Plane]:
+    """Textured wall segments arranged in a ring facing inward plus floating
+    quads — the loop-closure world: a camera orbiting inside and looking
+    outward revisits the same walls after a full revolution."""
+    planes = []
+    n_seg = 26
+    for i in range(n_seg):
+        a0 = 2 * np.pi * i / n_seg
+        a1 = 2 * np.pi * (i + 1) / n_seg
+        p0 = np.array([radius * np.sin(a0), -3.0, radius * np.cos(a0)])
+        p1 = np.array([radius * np.sin(a1), -3.0, radius * np.cos(a1)])
+        ex = p1 - p0
+        seg_len = np.linalg.norm(ex)
+        ex = ex / seg_len
+        ey = np.array([0.0, 1.0, 0.0])
+        planes.append(Plane(
+            origin=p0, ex=ex, ey=ey, size=(seg_len, 6.0),
+            texture=_make_texture(rng, (seg_len, 6.0), texel=0.06),
+        ))
+    # floating quads at mid-radius facing roughly inward
+    for _ in range(28):
+        ang = rng.uniform(0, 2 * np.pi)
+        rad = rng.uniform(5.0, 7.0)
+        c = np.array([rad * np.sin(ang), rng.uniform(-1.5, 1.5), rad * np.cos(ang)])
+        tangent = np.array([np.cos(ang), 0.0, -np.sin(ang)])
+        ex = tangent + rng.uniform(-0.3, 0.3) * np.array([0, 0, 1])
+        ex /= np.linalg.norm(ex)
+        ey = np.array([0.0, 1.0, 0.0])
+        ey = ey - ex * (ey @ ex)
+        ey /= np.linalg.norm(ey)
+        size = (rng.uniform(0.7, 1.4), rng.uniform(0.7, 1.4))
+        planes.append(Plane(
+            origin=c - ex * size[0] / 2 - ey * size[1] / 2, ex=ex, ey=ey,
+            size=size, texture=_make_texture(rng, size, texel=0.035),
+        ))
+    return planes
+
+
 def make_sequence(
     n_frames: int = 40,
     h: int = 480,
     w: int = 640,
     fx: float = 500.0,
     fy: float = 500.0,
-    motion: str = "strafe",  # "strafe" | "forward" | "orbit"
+    motion: str = "strafe",  # "strafe" | "forward" | "orbit" | "circle"
     step: float = 0.06,
     seed: int = 0,
     noise: float = 1.0,
@@ -252,7 +290,10 @@ def make_sequence(
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-    planes = default_world(rng, extent=max(n_frames * step * 1.5, 10.0))
+    if motion == "circle":
+        planes = ring_world(rng)
+    else:
+        planes = default_world(rng, extent=max(n_frames * step * 1.5, 10.0))
 
     Rs, ts, images, stamps = [], [], [], []
     for k in range(n_frames):
@@ -262,6 +303,12 @@ def make_sequence(
         elif motion == "forward":
             c = np.array([0.3 * k * step, 0.0, 0.6 * k * step], np.float64)
             w_rot = np.array([0.0, 0.002 * k, 0.0], np.float64)
+        elif motion == "circle":
+            # camera on a radius-3 circle about the origin, looking radially
+            # outward; revisits the start after 2*pi/step frames
+            a = step * k
+            c = np.array([3.0 * np.sin(a), 0.02 * np.sin(3 * a), 3.0 * np.cos(a)], np.float64)
+            w_rot = np.array([0.0, a, 0.0], np.float64)
         else:  # orbit
             ang = 0.015 * k
             c = np.array([4.0 * np.sin(ang), 0.0, 4.0 * (1 - np.cos(ang))], np.float64)
