@@ -36,23 +36,30 @@ def compute_image_bounds(cam, h: int, w: int) -> np.ndarray:
 class Frame:
     def __init__(self, feats, cam, timestamp: float, frame_id=None):
         """feats: FrameFeatures for ONE frame (leading batch dim stripped)."""
+        import jax
+
         self.id = next(_frame_counter) if frame_id is None else frame_id
         self.timestamp = timestamp
 
-        self.kp_xy = np.asarray(feats.xy)
-        self.kp_octave = np.asarray(feats.octave)
-        self.kp_angle = np.asarray(feats.angle)
-        self.kp_response = np.asarray(feats.response)
-        self.desc = np.asarray(feats.desc)
-        self.kp_valid = np.asarray(feats.valid)
-
+        # keep device-resident caches (used by every matcher call) and pull
+        # the host copies in ONE batched transfer — per-field np.asarray
+        # calls are separate device->host round-trips, which dominate
+        # per-frame wall time on a remote-TPU tunnel
+        self.j_xy = feats.xy
+        self.j_octave = feats.octave
+        self.j_angle = feats.angle
+        self.j_valid = feats.valid
         if cam.has_distortion:
-            und = camera.undistort_points(
-                jnp.asarray(self.kp_xy), jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs)
-            )
-            self.kp_und = np.asarray(und)
+            self.j_und = camera.undistort_points(
+                feats.xy, jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs))
         else:
-            self.kp_und = self.kp_xy
+            self.j_und = feats.xy
+        self.j_bits = matcher.unpack_bits_pm1(feats.desc)
+
+        (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
+         self.desc, self.kp_valid, self.kp_und) = jax.device_get(
+            (feats.xy, feats.octave, feats.angle, feats.response,
+             feats.desc, feats.valid, self.j_und))
 
         n = len(self.kp_xy)
         self.mp_ids = np.full(n, -1, np.int64)
@@ -60,13 +67,6 @@ class Frame:
         self.Rcw = np.eye(3, dtype=np.float32)
         self.tcw = np.zeros(3, np.float32)
         self.pose_set = False
-
-        # device-resident caches used by every matcher call
-        self.j_und = jnp.asarray(self.kp_und)
-        self.j_bits = matcher.unpack_bits_pm1(jnp.asarray(self.desc))
-        self.j_octave = jnp.asarray(self.kp_octave)
-        self.j_angle = jnp.asarray(self.kp_angle)
-        self.j_valid = jnp.asarray(self.kp_valid)
 
     @property
     def n_kp(self):

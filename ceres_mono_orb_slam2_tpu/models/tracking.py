@@ -331,8 +331,8 @@ class Tracking:
             jnp.asarray(pos), jnp.asarray(frame.kp_und),
             jnp.asarray(w.astype(np.float32)), jnp.asarray(ok),
         )
-        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
-        inl = np.asarray(res.inliers)
+        Rn, tn, inl = jax.device_get((res.R, res.t, res.inliers))
+        frame.set_pose(Rn, tn)
         frame.outlier = ok & ~inl
         return int(inl.sum())
 
@@ -372,14 +372,14 @@ class Tracking:
                 pr_uv, lf.j_octave, lf.j_angle, lf.j_bits, pr_valid,
                 self.j_scale, th=th,
             )
-            n = int(np.asarray(valid).sum())
+            idx, vi = jax.device_get((idx, valid))
+            n = int(vi.sum())
             if n >= 20:
                 break
         if n < 20:
             return False
         f.mp_ids[:] = -1
-        vi = np.asarray(valid)
-        f.mp_ids[np.asarray(idx)[vi]] = lf.mp_ids[np.nonzero(vi)[0]]
+        f.mp_ids[idx[vi]] = lf.mp_ids[np.nonzero(vi)[0]]
         self._dedup_mp_ids(f.mp_ids)
         self.matches_inliers = self._pose_optimize(f)
         f.mp_ids[f.outlier] = -1
@@ -444,12 +444,12 @@ class Tracking:
             jnp.asarray(kf_has_mp),
             ratio=0.7,
         )
-        n = int(np.asarray(valid).sum())
+        idx, vi = jax.device_get((idx, valid))
+        n = int(vi.sum())
         if n < 15:
             return False
         f.mp_ids[:] = -1
-        vi = np.asarray(valid)
-        f.mp_ids[vi] = kf.mp_ids[np.asarray(idx)[vi]]
+        f.mp_ids[vi] = kf.mp_ids[idx[vi]]
         if self.last_frame is not None and self.last_frame.pose_set:
             f.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
         self.matches_inliers = self._pose_optimize(f)
@@ -567,8 +567,7 @@ class Tracking:
                 f.j_und, f.j_octave, f.j_bits, f.j_valid, kp_free,
                 uv, level, viewcos, mp_bits, visible, self.j_scale, th=th,
             )
-            vi = np.asarray(valid)
-            ii = np.asarray(idx)
+            ii, vi = jax.device_get((idx, valid))
             for q in np.nonzero(vi)[0]:
                 f.mp_ids[ii[q]] = cand[q]
 
