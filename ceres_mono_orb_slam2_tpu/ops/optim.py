@@ -176,30 +176,42 @@ def pose_optimization(
         return jnp.sum(jnp.where(active, huber_cost(s, delta), 0.0))
 
     def step(carry, _):
-        R, t, lam, cost, active = carry
-        r, Xc, behind = residuals(R, t)
-        s = inv_sigma2 * jnp.sum(r * r, axis=-1)
-        w = inv_sigma2 * huber_weight(s, delta)
-        w = jnp.where(active & ~behind, w, 0.0)
-        # J wrt left-increment xi on Tcw: dXc/dxi = [I | -hat(Xc)]
-        Jp = _proj_jacobian(K, Xc)  # (N, 2, 3)
-        Jxi = jnp.concatenate([Jp, -Jp @ lie.hat(Xc)], axis=-1)  # (N, 2, 6) of d proj/d xi
-        # residual r = uv - proj => dr/dxi = -Jxi
-        Jr = -Jxi
-        H = jnp.einsum("nik,n,nil->kl", Jr, w, Jr)
-        g = -jnp.einsum("nik,n,ni->k", Jr, w, r)
-        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
-        dx = _solve6_spd(Hd, g)
-        dR, dt = lie.se3_exp(dx)
-        R_new = dR @ R
-        t_new = (dR @ t[..., None])[..., 0] + dt
-        new_cost = cost_fn(R_new, t_new, active)
-        accept = new_cost < cost
-        R = jnp.where(accept, R_new, R)
-        t = jnp.where(accept, t_new, t)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.25, 1e-8), jnp.minimum(lam * 4.0, 1e5))
-        cost = jnp.where(accept, new_cost, cost)
-        return (R, t, lam, cost, active), None
+        def do(args):
+            R, t, lam, cost, active, _ = args
+            r, Xc, behind = residuals(R, t)
+            s = inv_sigma2 * jnp.sum(r * r, axis=-1)
+            w = inv_sigma2 * huber_weight(s, delta)
+            w = jnp.where(active & ~behind, w, 0.0)
+            # J wrt left-increment xi on Tcw: dXc/dxi = [I | -hat(Xc)]
+            Jp = _proj_jacobian(K, Xc)  # (N, 2, 3)
+            Jxi = jnp.concatenate([Jp, -Jp @ lie.hat(Xc)], axis=-1)  # (N, 2, 6)
+            # residual r = uv - proj => dr/dxi = -Jxi
+            Jr = -Jxi
+            H = jnp.einsum("nik,n,nil->kl", Jr, w, Jr)
+            g = -jnp.einsum("nik,n,ni->k", Jr, w, r)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+            dx = _solve6_spd(Hd, g)
+            dR, dt = lie.se3_exp(dx)
+            R_new = dR @ R
+            t_new = (dR @ t[..., None])[..., 0] + dt
+            new_cost = cost_fn(R_new, t_new, active)
+            accept = new_cost < cost
+            # converged: an accepted step that barely moved the cost, OR the
+            # damping has grown past 1.0 from consecutive rejections (the
+            # solve sits at its optimum and steps keep failing). Later
+            # iterations skip through the cond — steady-state frames
+            # converge in <10 iterations; the 25-iteration budget exists for
+            # hard, far-from-optimum solves. (Under vmap the cond lowers to
+            # select and cannot skip; the live tracker calls this unvmapped.)
+            stop = (accept & (cost - new_cost <= 1e-6 * cost)) | (~accept & (lam >= 1.0))
+            R = jnp.where(accept, R_new, R)
+            t = jnp.where(accept, t_new, t)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.25, 1e-8), jnp.minimum(lam * 4.0, 1e5))
+            cost = jnp.where(accept, new_cost, cost)
+            return (R, t, lam, cost, active, stop)
+
+        carry = jax.lax.cond(carry[5], lambda a: a, do, carry)
+        return carry, None
 
     # project the initial rotation onto SO(3): the motion-model prediction
     # composes previous solutions and accumulates determinant drift that the
@@ -208,8 +220,10 @@ def pose_optimization(
     active = valid
     for _ in range(max(rounds, 1)):
         cost0 = cost_fn(R, t, active)
-        (R, t, _, cost, _), _ = jax.lax.scan(
-            step, (R, t, jnp.asarray(1e-4, R0.dtype), cost0, active), None, length=max_iters
+        (R, t, _, cost, _, _), _ = jax.lax.scan(
+            step,
+            (R, t, jnp.asarray(1e-4, R0.dtype), cost0, active, jnp.asarray(False)),
+            None, length=max_iters,
         )
         R = lie.so3_project(R)
         # re-classify: outliers leave, returners re-enter (orig ORB-SLAM2 scheme)

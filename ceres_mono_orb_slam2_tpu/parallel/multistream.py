@@ -78,14 +78,26 @@ def make_multistream_step(config, h: int, w: int):
         safe_idx = jnp.where(mvalid, idx, n_kp)
         pos_kp = jnp.zeros((n_kp + 1, 3), jnp.float32).at[safe_idx].set(map_pos)[:-1]
         ok = jnp.zeros((n_kp + 1,), bool).at[safe_idx].set(mvalid)[:-1]
-        res = optim.pose_optimization(
-            K, Rcw, tcw, pos_kp, xy, inv_sigma2[octv], ok, max_iters=10, rounds=2,
-        )
+        # the LIVE tracker's solver configuration (25 iters x 4 trimming
+        # rounds with convergence early-exit) — the benchmark measures what
+        # the production path actually runs
+        res = optim.pose_optimization(K, Rcw, tcw, pos_kp, xy, inv_sigma2[octv], ok)
         return res.R, res.t, res.n_inliers, jnp.sum(mvalid.astype(jnp.int32))
 
     def step(images, state: StreamState) -> StepResult:
         feats = extract(images)  # batched over streams already
         packed = (feats.xy, feats.octave, feats.angle, feats.desc, feats.valid)
+        if images.shape[0] == 1:
+            # single stream: skip vmap so the pose solver's convergence
+            # early-exit (a lax.cond) actually branches — under vmap it
+            # lowers to select and every LM iteration always executes
+            args = jax.tree_util.tree_map(
+                lambda a: a[0],
+                (packed, state.Rcw, state.tcw, state.map_pos, state.map_normal,
+                 state.map_min_dist, state.map_max_dist, state.map_bits, state.map_valid))
+            R, t, ninl, nm = one_stream(*args)
+            return StepResult(Rcw=R[None], tcw=t[None],
+                              n_inliers=ninl[None], n_matches=nm[None])
         R, t, ninl, nm = jax.vmap(one_stream)(
             packed, state.Rcw, state.tcw, state.map_pos, state.map_normal,
             state.map_min_dist, state.map_max_dist, state.map_bits, state.map_valid,
