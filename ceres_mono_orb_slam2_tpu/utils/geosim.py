@@ -42,6 +42,10 @@ class GeoWorld:
                 axis=-1,
             ).astype(np.float64)
         self.desc = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+        # intrinsic detection level per landmark, distributed like a real
+        # extractor's per-level budget (most features at level 0)
+        self.base_level = rng.choice(
+            np.arange(5), size=n, p=[0.45, 0.22, 0.15, 0.11, 0.07]).astype(np.int32)
 
 
 def make_geo_trajectory(n_frames: int, motion: str = "strafe", step: float = 0.12,
@@ -90,6 +94,12 @@ class GeoExtractor:
         self.rng = np.random.default_rng(seed + 1000)
         self.slot_lm_by_frame = {}
         self.last_frame_idx = -1
+        # octave-shift anchor = median visible depth at frame 0 (so roughly
+        # half the frame-0 keypoints sit at their landmark's base level and
+        # level 0 is well-populated for initialization in ANY world geometry)
+        X0 = world.pos @ Rcw[0].astype(np.float64).T + tcw[0].astype(np.float64)
+        vis0 = X0[:, 2] > 0.3
+        self.depth_anchor = float(np.median(X0[vis0, 2])) if vis0.any() else 8.0
 
     def extract(self, image):
         if image.ndim == 3:
@@ -112,6 +122,13 @@ class GeoExtractor:
         xy = np.zeros((N, 2), np.float32)
         desc = np.zeros((N, 32), np.uint8)
         valid = np.zeros(N, bool)
+        octv = np.zeros(N, np.int32)
+        # pyramid level = landmark's intrinsic level shifted by distance,
+        # like a real image pyramid (a single-octave world makes
+        # KeyFrameCulling's same-or-finer-scale test trivially true and
+        # starves the map of keyframes at the frontier)
+        shift = np.round(np.log(self.depth_anchor / z[ids]) / np.log(1.2))
+        octv[:m] = np.clip(self.world.base_level[ids] + shift, 0, 7).astype(np.int32)
         xy[:m, 0] = u[ids] + self.rng.normal(0, self.px_noise, m)
         xy[:m, 1] = v[ids] + self.rng.normal(0, self.px_noise, m)
         desc[:m] = self.world.desc[ids]
@@ -128,7 +145,7 @@ class GeoExtractor:
             xy=jnp.asarray(xy[None]),
             response=jnp.asarray(np.full((1, N), 30.0, np.float32)),
             angle=jnp.asarray(np.zeros((1, N), np.float32)),
-            octave=jnp.asarray(np.zeros((1, N), np.int32)),
+            octave=jnp.asarray(octv[None]),
             desc=jnp.asarray(desc[None]),
             valid=jnp.asarray(valid[None]),
         )
