@@ -161,6 +161,29 @@ def synthetic_stream_state(config, n_streams: int, n_map_points: int, seed: int 
     return jnp.asarray(images), state
 
 
+def make_multistream_local_ba(iters_huber: int = 5, iters_trimmed: int = 10):
+    """Batched local bundle adjustment: one jit solving S independent
+    streams' local BA problems simultaneously (the BASELINE.json batched
+    mode is 'batched ORB + BA'). All streams share static problem shapes
+    (P poses, M points, O observations, mask-padded); the LM iterations
+    vmap over the stream axis.
+
+    Returns fn(K, R (S,P,3,3), t, points (S,M,3), obs_pose (S,O), obs_point,
+    obs_uv, obs_w, obs_valid, fixed (S,P), point_valid (S,M)) -> BAResult
+    with a leading stream axis on every field."""
+    solve = partial(optim.bundle_adjustment,
+                    iters_huber=iters_huber, iters_trimmed=iters_trimmed)
+
+    @jax.jit
+    def batched(K, R, t, points, obs_pose, obs_point, obs_uv, obs_w,
+                obs_valid, fixed, point_valid):
+        return jax.vmap(solve, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            K, R, t, points, obs_pose, obs_point, obs_uv, obs_w,
+            obs_valid, fixed, point_valid)
+
+    return batched
+
+
 def shard_step_over_mesh(config, h: int, w: int, mesh):
     """Multi-chip variant: jit the multistream step with stream-axis (dp) and
     map-point-axis (mp) shardings over the given jax.sharding.Mesh."""
