@@ -145,6 +145,7 @@ def _edge_residuals(R, t, s, ei, ej, Rm, tm, sm):
     return lie.sim3_log(Re, te, se)  # (E, 7)
 
 
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
 def optimize_essential_graph(
     R,  # (P, 3, 3) initial sim3 rotations (world->camera, s*R|t form)
     t,  # (P, 3)

@@ -211,3 +211,108 @@ def test_bundle_adjustment_cg_matches_dense(rng):
     cd = np.einsum("pij,pj->pi", np.asarray(dense.R).transpose(0, 2, 1), -np.asarray(dense.t))
     cc = np.einsum("pij,pj->pi", np.asarray(cg.R).transpose(0, 2, 1), -np.asarray(cg.t))
     assert np.abs(cd - cc).max() < 0.02, np.abs(cd - cc).max()
+
+
+def test_global_ba_propagates_to_mid_solve_keyframes(rng):
+    """run_global_ba must propagate corrections through the spanning tree to
+    keyframes created WHILE the solve ran (reference RunGlobalBundleAdjustment,
+    LoopClosing.cc:679-713). Simulated by inserting a child keyframe from the
+    stop callback between iteration chunks."""
+    import jax.numpy as jnp
+
+    from ceres_mono_orb_slam2_tpu.models.map import Map
+    from ceres_mono_orb_slam2_tpu.models.optimization import run_global_ba
+    from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig
+
+    cfg = SlamConfig(camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0),
+                     orb=ORBConfig())
+    m = Map()
+    P, M = 4, 60
+    pts_gt = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
+                       rng.uniform(4, 8, M)], -1).astype(np.float32)
+
+    class _F:
+        pass
+
+    kfs = []
+    for k in range(P):
+        f = _F()
+        f.id = k
+        f.timestamp = float(k)
+        f.Rcw = np.eye(3, dtype=np.float32)
+        # poses perturbed from truth so the solve MOVES them
+        f.tcw = np.array([0.3 * k + rng.normal(0, 0.03), 0, 0], np.float32)
+        X = pts_gt @ f.Rcw.T + f.tcw
+        # observations from TRUE poses
+        Xt = pts_gt @ np.eye(3, dtype=np.float32).T + np.array([0.3 * k, 0, 0], np.float32)
+        uv = np.stack([500 * Xt[:, 0] / Xt[:, 2] + 320, 500 * Xt[:, 1] / Xt[:, 2] + 240], -1)
+        f.kp_xy = uv.astype(np.float32)
+        f.kp_und = f.kp_xy
+        f.kp_octave = np.zeros(M, np.int32)
+        f.kp_angle = np.zeros(M, np.float32)
+        f.kp_response = np.ones(M, np.float32)
+        f.desc = rng.integers(0, 256, (M, 32), dtype=np.uint8)
+        f.kp_valid = np.ones(M, bool)
+        f.mp_ids = np.full(M, -1, np.int64)
+        kfs.append(m.new_keyframe(f))
+    m.keyframe_origins.append(kfs[0].id)
+    for j in range(M):
+        mp = m.new_map_point(pts_gt[j] + rng.normal(0, 0.05, 3).astype(np.float32),
+                             kfs[0].desc[j], 0)
+        for kf in kfs:
+            m.add_observation(mp, kf, j)
+    for i, kf in enumerate(kfs):
+        if i > 0:
+            kf.parent = kfs[i - 1].id
+            kfs[i - 1].children.add(kf.id)
+
+    inserted = {}
+
+    def stop_cb():
+        if not inserted:
+            # a keyframe arrives mid-solve, child of the last snapshot KF,
+            # at a known relative transform
+            f = _F()
+            f.id = 99
+            f.timestamp = 99.0
+            f.Rcw = kfs[-1].Rcw.copy()
+            f.tcw = kfs[-1].tcw + np.array([0.3, 0, 0], np.float32)
+            f.kp_xy = kfs[-1].kp_xy
+            f.kp_und = kfs[-1].kp_und
+            f.kp_octave = kfs[-1].kp_octave
+            f.kp_angle = kfs[-1].kp_angle
+            f.kp_response = kfs[-1].kp_response
+            f.desc = kfs[-1].desc
+            f.kp_valid = kfs[-1].kp_valid
+            f.mp_ids = np.full(M, -1, np.int64)
+            new_kf = m.new_keyframe(f)
+            new_kf.parent = kfs[-1].id
+            kfs[-1].children.add(new_kf.id)
+            rel = (new_kf.Rcw @ kfs[-1].Rcw.T,
+                   new_kf.tcw - new_kf.Rcw @ kfs[-1].Rcw.T @ kfs[-1].tcw)
+            inserted["kf"] = new_kf
+            inserted["rel"] = rel
+        return False  # never abort
+
+    ok = run_global_ba(m, cfg, loop_kf_id=3, n_iters=20, stop_cb=stop_cb, chunk=5)
+    assert ok
+    new_kf = inserted["kf"]
+    parent = kfs[-1]
+    # the mid-solve keyframe kept its RELATIVE transform to its (corrected)
+    # parent — the propagation contract
+    R_rel = new_kf.Rcw @ parent.Rcw.T
+    t_rel = new_kf.tcw - R_rel @ parent.tcw
+    assert np.abs(R_rel - inserted["rel"][0]).max() < 1e-4
+    assert np.abs(t_rel - inserted["rel"][1]).max() < 1e-4, t_rel
+    # and the solve converged: reprojection of every observation is at the
+    # sub-pixel level at the corrected poses/points (absolute positions carry
+    # the free monocular scale gauge — only KF0 is fixed — so only
+    # self-consistency is assertable)
+    errs = []
+    for kf in kfs:
+        pos = np.stack([m.map_points[j].pos for j in range(M)])
+        Xc = pos @ kf.Rcw.T + kf.tcw
+        uv_hat = np.stack([500 * Xc[:, 0] / Xc[:, 2] + 320,
+                           500 * Xc[:, 1] / Xc[:, 2] + 240], -1)
+        errs.append(np.sqrt(np.mean(np.sum((uv_hat - kf.kp_und) ** 2, -1))))
+    assert max(errs) < 1.0, errs

@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--no-fuse", action="store_true")
     ap.add_argument("--no-culling", action="store_true")
     ap.add_argument("--max-local-kfs", type=int, default=12)
+    ap.add_argument("--max-local-points", type=int, default=4096)
     ap.add_argument("--max-ba-points", type=int, default=1024)
     ap.add_argument("--max-ba-obs", type=int, default=4096)
     ap.add_argument("--pose-rounds", type=int, default=None,
@@ -69,7 +70,7 @@ def main():
         camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
         orb=ORBConfig(n_features=args.features),
         shapes=StaticShapes(
-            max_local_points=2048, max_local_keyframes=args.max_local_kfs,
+            max_local_points=args.max_local_points, max_local_keyframes=args.max_local_kfs,
             max_ba_points=args.max_ba_points, max_ba_obs=args.max_ba_obs,
         ),
     )
