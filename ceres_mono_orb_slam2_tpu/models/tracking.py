@@ -758,6 +758,10 @@ class Tracking:
         self.map.clear()
         if self.local_mapper is not None:
             self.local_mapper.reset()
+            # the reference reset protocol drains the loop thread too
+            # (Tracking.cc:1139-1179 RequestReset on both workers)
+            if self.local_mapper.loop_closer is not None:
+                self.local_mapper.loop_closer.reset()
         if self.relocalizer is not None:
             self.relocalizer.clear()
         self.state = State.NOT_INITIALIZED
