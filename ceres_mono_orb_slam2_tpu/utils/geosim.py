@@ -82,7 +82,8 @@ class GeoExtractor:
     under the GT pose for that frame, with pixel and descriptor-bit noise."""
 
     def __init__(self, world: GeoWorld, K, Rcw, tcw, n_features, h, w,
-                 px_noise=0.3, bit_noise=2, seed=0):
+                 px_noise=0.3, bit_noise=2, seed=0, blackout=()):
+        self.blackout = set(blackout)  # frames returning zero features
         self.world = world
         self.K = K
         self.Rcw = Rcw
@@ -106,6 +107,17 @@ class GeoExtractor:
             image = image[0]
         k = int(round(float(image[0, 0])))
         self.last_frame_idx = k
+        if k in self.blackout:  # total occlusion: no features this frame
+            N = self.n
+            self.slot_lm_by_frame[k] = np.full(N, -1, np.int64)
+            return FrameFeatures(
+                xy=jnp.zeros((1, N, 2), jnp.float32),
+                response=jnp.zeros((1, N), jnp.float32),
+                angle=jnp.zeros((1, N), jnp.float32),
+                octave=jnp.zeros((1, N), jnp.int32),
+                desc=jnp.zeros((1, N, 32), jnp.uint8),
+                valid=jnp.zeros((1, N), bool),
+            )
         R, t = self.Rcw[k].astype(np.float64), self.tcw[k].astype(np.float64)
         Xc = self.world.pos @ R.T + t
         z = Xc[:, 2]
