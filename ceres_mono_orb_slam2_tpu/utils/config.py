@@ -147,7 +147,13 @@ class StaticShapes:
 
     max_features: int = 0  # 0 -> derived from ORBConfig.n_features
     max_init_features: int = 0  # 2x budget used during initialization (Tracking.cc:131)
-    max_local_points: int = 8192  # local-map points considered by TrackLocalMap
+    # Local-map candidate guard. The reference iterates ALL local points
+    # (no cap); candidates are ordered by covisibility strength, so when a
+    # cap binds it drops exactly the weakly-connected FRONTIER points and
+    # starves map extension (observed as inlier decay -> loss at ~f470 of a
+    # 500-frame run with an 8192 cap). The (keypoints x points) Hamming
+    # matmul at 16384 points is ~0.2 ms on the MXU — keep this generous.
+    max_local_points: int = 16384
     max_local_keyframes: int = 96  # local BA window incl. fixed KFs (ref caps local map at 80)
     max_ba_points: int = 8192  # point blocks in one local BA solve
     max_ba_obs: int = 32768  # observations in one local BA solve
