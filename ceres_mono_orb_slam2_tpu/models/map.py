@@ -37,7 +37,7 @@ class MapPoint:
     __slots__ = (
         "id", "pos", "descriptor", "normal", "min_dist", "max_dist",
         "observations", "ref_kf_id", "first_kf_id", "n_visible", "n_found",
-        "bad", "replaced_by", "track_in_view", "last_frame_seen",
+        "bad", "replaced_by", "last_frame_seen",
     )
 
     def __init__(self, mp_id: int, pos: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):

@@ -32,13 +32,6 @@ class State(enum.Enum):
     LOST = 3
 
 
-def _pad_rows(arr: np.ndarray, n: int, fill=0):
-    if len(arr) >= n:
-        return arr[:n]
-    pad = np.full((n - len(arr),) + arr.shape[1:], fill, arr.dtype)
-    return np.concatenate([arr, pad], axis=0)
-
-
 class Tracking:
     def __init__(self, config, map_: Map, extractor, local_mapper=None, relocalizer=None):
         self.config = config
@@ -64,7 +57,6 @@ class Tracking:
         self.velocity = None  # (R, t) relative motion or None
         self.ref_kf_id: Optional[int] = None
         self.init_ref: Optional[Frame] = None
-        self.init_matches = None
         self.last_kf_id = -1
         self.last_reloc_frame_id = -1
         self.matches_inliers = 0
