@@ -420,19 +420,39 @@ class LocalMapping:
         jop, joj = jnp.asarray(op), jnp.asarray(oj)
         jouv, jow = jnp.asarray(ouv), jnp.asarray(ow)
         jovalid, jfixed, jpvalid = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
-        res = optim.bundle_adjustment(
-            self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
-            jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
-            iters_huber=5, iters_trimmed=5,
-        )
-        if not self.abort_ba:
-            res = optim.bundle_adjustment(
-                self.jK, res.R, res.t, res.points,
+        # past ~2M pose-point block pairs the dense Schur cross tensor
+        # (M, P, 6, 3) stops fitting; switch to the matrix-free CG solver
+        # (same guard as run_global_ba) so an uncapped local window in a
+        # densely-covisible revisited area cannot OOM the device
+        use_cg = P * MM > (1 << 21)
+        if use_cg:
+            res = optim.bundle_adjustment_cg(
+                self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
                 jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
-                iters_huber=0, iters_trimmed=5,
+                iters=8, cg_iters=50, robust=True,
             )
+            if not self.abort_ba:
+                res = optim.bundle_adjustment_cg(
+                    self.jK, res.R, res.t, res.points,
+                    jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
+                    iters=7, cg_iters=50, robust=True,
+                )
+            else:
+                self.n_ba_aborted += 1
         else:
-            self.n_ba_aborted += 1
+            res = optim.bundle_adjustment(
+                self.jK, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts),
+                jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
+                iters_huber=5, iters_trimmed=5,
+            )
+            if not self.abort_ba:
+                res = optim.bundle_adjustment(
+                    self.jK, res.R, res.t, res.points,
+                    jop, joj, jouv, jow, jovalid, jfixed, jpvalid,
+                    iters_huber=0, iters_trimmed=5,
+                )
+            else:
+                self.n_ba_aborted += 1
         self.n_local_ba += 1
         Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
         inl = np.asarray(res.inlier_obs)

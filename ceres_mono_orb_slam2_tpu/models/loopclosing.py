@@ -197,8 +197,11 @@ class LoopClosing:
         cam = self.config.camera
         u = cam.fx * Xc[:, 0] / zs + cam.cx
         v = cam.fy * Xc[:, 1] / zs + cam.cy
-        # image bounds: keypoint extent is a good displayless proxy
-        ok &= (u >= 0) & (u < 2 * cam.cx) & (v >= 0) & (v < 2 * cam.cy)
+        b = m.image_bounds  # undistorted image bounds recorded by Tracking
+        if b is None:  # fallback: keyframe keypoint extent
+            b = (float(kf.kp_und[kf.kp_valid, 0].min()), float(kf.kp_und[kf.kp_valid, 0].max()),
+                 float(kf.kp_und[kf.kp_valid, 1].min()), float(kf.kp_und[kf.kp_valid, 1].max()))
+        ok &= (u >= b[0]) & (u < b[1]) & (v >= b[2]) & (v < b[3])
         Ow = -np.asarray(Rcw).T @ (np.asarray(tcw) / max(scw, 1e-12))
         PO = pos - Ow
         dist = np.linalg.norm(PO, axis=-1)
@@ -390,8 +393,12 @@ class LoopClosing:
                     tn = Ric @ tcor + tic
                     corrected[kfi_id] = (Rn.astype(np.float32), tn.astype(np.float32), scor)
 
-            # correct map points observed by the connected group (:446-523)
-            done_points = set()
+            # correct map points observed by the connected group (:446-523);
+            # record WHICH keyframe corrected each point — the essential
+            # graph must remap these through the correcting KF's vertex, not
+            # their (possibly outside-the-group) reference KF (reference
+            # mnCorrectedByKF / mnCorrectedReference, LoopClosing.cc:469-476)
+            done_points = {}
             for kfi_id, (Rn, tn, sn) in corrected.items():
                 kfi = m.keyframes[kfi_id]
                 Ro, to, _ = noncorrected[kfi_id]
@@ -401,7 +408,7 @@ class LoopClosing:
                     rid = m.resolve(int(mid)) if mid >= 0 else -1
                     if rid < 0 or rid in done_points:
                         continue
-                    done_points.add(rid)
+                    done_points[rid] = kfi_id
                     mp = m.map_points[rid]
                     pc = Ro @ mp.pos + to  # old camera coords
                     pw = (Rn_inv @ ((pc - tn) / sn)).astype(np.float32)
@@ -463,7 +470,8 @@ class LoopClosing:
                 loop_connections[kfi_id] = set(kfi.covisible) - prev - group_set
 
             self._optimize_essential_graph(kf, match_kf_id, corrected,
-                                           noncorrected, loop_connections)
+                                           noncorrected, loop_connections,
+                                           corrected_ref=done_points)
 
             # loop edges — added AFTER the essential graph like the reference
             # (LoopClosing.cc:580-584): they feed FUTURE pose-graph solves,
@@ -497,7 +505,8 @@ class LoopClosing:
     def _optimize_essential_graph(self, kf: KeyFrame, match_kf_id: int,
                                   corrected: Dict[int, tuple],
                                   noncorrected: Dict[int, tuple],
-                                  loop_connections: Dict[int, set]):
+                                  loop_connections: Dict[int, set],
+                                  corrected_ref: Dict[int, int] = None):
         """Assemble + run the sim3 pose graph (reference OptimizeEssentialGraph,
         CeresOptimizer.cc:737-957).
 
@@ -639,10 +648,16 @@ class LoopClosing:
             k.Rcw = Rn[i]
             k.tcw = (tn[i] / max(sn[i], 1e-9)).astype(np.float32)
         for mp in m.all_map_points():
-            ref = m.keyframes.get(mp.ref_kf_id)
-            if ref is None or ref.bad or mp.ref_kf_id not in slot:
+            # points already moved by _correct_loop transform through the
+            # KEYFRAME THAT CORRECTED THEM (its corrected-sim3 vertex init);
+            # routing them through an outside-the-group reference KF would
+            # apply the loop correction twice (reference mnCorrectedReference,
+            # CeresOptimizer.cc:936-956)
+            ref_id = (corrected_ref or {}).get(mp.id, mp.ref_kf_id)
+            ref = m.keyframes.get(ref_id)
+            if ref is None or ref.bad or ref_id not in slot:
                 continue
-            i = slot[mp.ref_kf_id]
+            i = slot[ref_id]
             pc = s[i] * (R[i].astype(np.float64) @ mp.pos.astype(np.float64)) + t[i]
             mp.pos = (Rn[i].T @ ((pc - tn[i]) / max(sn[i], 1e-9))).astype(np.float32)
             m.update_normal_and_depth(mp, self.config.orb.scale_factors)

@@ -132,6 +132,7 @@ class Map:
         self.big_change_idx = 0
         self.update_lock = threading.RLock()
         self.keyframe_db = None  # optional BoW database, notified on erase
+        self.image_bounds = None  # (4,) [min_x, max_x, min_y, max_y], set by Tracking
 
     # ----- creation / deletion -------------------------------------------------
 

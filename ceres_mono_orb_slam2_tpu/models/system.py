@@ -79,8 +79,13 @@ class MonoSLAM:
                 continue
             with self.map.update_lock:
                 self.local_mapper.process_queue()
-                if self.loop_closer is not None:
-                    self.loop_closer.process_queue()
+            # The loop stage takes map.update_lock itself only around the
+            # map-mutating correction (LoopClosing._correct_loop), like the
+            # reference's fine-grained mutexes. Holding the lock across the
+            # whole stage would deadlock threaded GBA: _correct_loop joins
+            # the GBA thread, which needs the lock for its snapshot/apply.
+            if self.loop_closer is not None:
+                self.loop_closer.process_queue()
 
     def track_monocular(self, image: np.ndarray, timestamp: float):
         """Reference TrackMonocular (MonoORBSlam.cc:103-141). Returns Tcw
@@ -242,6 +247,9 @@ class MonoSLAM:
                     if mp is not None:
                         mp.observations[kf.id] = int(q)
             m.next_kf_id = int(kf_ids.max()) + 1 if len(kf_ids) else 0
+            if len(kf_ids):
+                # GBA's spanning-tree propagation walks from the origins
+                m.keyframe_origins.append(int(kf_ids.min()))
             for i, kid in enumerate(kf_ids):
                 kf = m.keyframes[int(kid)]
                 par = int(data["kf_parent"][i])

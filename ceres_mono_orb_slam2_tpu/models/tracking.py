@@ -84,6 +84,7 @@ class Tracking:
         if self.bounds is None:
             self.bounds = compute_image_bounds(self.cam, image.shape[-2], image.shape[-1])
             self.j_bounds = jnp.asarray(self.bounds)
+            self.map.image_bounds = self.bounds  # loop closing projects with these
         feats = self.extractor.extract(image)
         feats = jax.tree_util.tree_map(lambda a: a[0], feats)
         return Frame(feats, self.cam, timestamp)
@@ -377,11 +378,13 @@ class Tracking:
         f.mp_ids[f.outlier] = -1
         f.outlier[:] = False
         if self.localization_only:
-            # reference Tracking.cc:665-669: flag weak map tracking (mono has
-            # no depth so no literal VO points; the do_vo recovery state
+            # reference Tracking.cc:665-669: do_vo flags weak MAP tracking
+            # (inliers), but the return gate is the RAW match count — the
+            # reference keeps "tracking" on matches alone in this mode (mono
+            # has no depth so no literal VO points; the do_vo recovery state
             # machine is what carries over)
             self.do_vo = self.matches_inliers < 10
-            return self.matches_inliers > 20
+            return n > 20
         return self.matches_inliers >= 10
 
     def _tracking_with_known_map(self) -> bool:

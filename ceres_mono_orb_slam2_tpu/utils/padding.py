@@ -33,12 +33,3 @@ def pad_rows(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
         return arr[:n]
     pad = np.full((n - len(arr),) + arr.shape[1:], fill, arr.dtype)
     return np.concatenate([arr, pad], axis=0)
-
-
-def pad_to_bucket(arr: np.ndarray, minimum: int = 64, fill=0):
-    """Pad the leading axis to its bucket; returns (padded, valid_mask)."""
-    n = len(arr)
-    b = bucket(n, minimum)
-    valid = np.zeros(b, bool)
-    valid[:n] = True
-    return pad_rows(arr, b, fill), valid

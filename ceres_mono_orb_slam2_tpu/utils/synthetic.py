@@ -334,28 +334,6 @@ def make_sequence(
     )
 
 
-def make_trajectory(n_frames: int, motion: str = "strafe", step: float = 0.06):
-    """Ground-truth (Rcw, tcw) arrays for the standard test motions (same
-    pose code as make_sequence, no rendering)."""
-    Rs, ts = [], []
-    for k in range(n_frames):
-        if motion == "strafe":
-            c = np.array([k * step, 0.1 * np.sin(k * 0.3), 0.04 * np.sin(k * 0.2)], np.float64)
-            w_rot = np.array([0.003 * np.sin(k * 0.5), 0.004 * k, 0.001 * k], np.float64)
-        elif motion == "forward":
-            c = np.array([0.3 * k * step, 0.0, 0.6 * k * step], np.float64)
-            w_rot = np.array([0.0, 0.002 * k, 0.0], np.float64)
-        else:  # orbit
-            ang = 0.015 * k
-            c = np.array([4.0 * np.sin(ang), 0.0, 4.0 * (1 - np.cos(ang))], np.float64)
-            w_rot = np.array([0.0, ang, 0.0], np.float64)
-        Rwc = np.asarray(lie.so3_exp(jnp.asarray(w_rot)), np.float64)
-        Rcw = Rwc.T
-        Rs.append(Rcw.astype(np.float32))
-        ts.append((-Rcw @ c).astype(np.float32))
-    return np.stack(Rs), np.stack(ts)
-
-
 def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error (camera centers) after sim3 alignment (the
     standard mono evaluation; mono scale is free so alignment includes it)."""

@@ -230,6 +230,7 @@ def test_essential_graph_alone_corrects_far_side(drifted_loop_map, rng, monkeypa
     import ceres_mono_orb_slam2_tpu.models.loopclosing as lc_module
 
     monkeypatch.setattr(lc_module, "global_bundle_adjustment", lambda *a, **k: False)
+    monkeypatch.setattr(lc_module, "run_global_ba", lambda *a, **k: False)
     lc = LoopClosing(cfg, m, keyframe_db=None)
 
     import jax

@@ -32,15 +32,23 @@ def read_tum(path):
 
 
 def associate(t1, t2, max_diff):
-    """Greedy nearest-timestamp association (TUM associate.py semantics)."""
-    pairs = []
-    j = 0
-    used = set()
+    """Best-first timestamp association (TUM associate.py semantics): all
+    candidate pairs within max_diff sorted by |dt|, matched greedily with
+    each timestamp used at most once."""
+    cands = []
     for i, ta in enumerate(t1):
-        k = np.argmin(np.abs(t2 - ta))
-        if abs(t2[k] - ta) <= max_diff and k not in used:
-            pairs.append((i, int(k)))
-            used.add(int(k))
+        d = np.abs(t2 - ta)
+        for k in np.nonzero(d <= max_diff)[0]:
+            cands.append((d[k], i, int(k)))
+    cands.sort()
+    used1, used2 = set(), set()
+    pairs = []
+    for _, i, k in cands:
+        if i not in used1 and k not in used2:
+            pairs.append((i, k))
+            used1.add(i)
+            used2.add(k)
+    pairs.sort()
     return pairs
 
 
