@@ -34,32 +34,43 @@ def compute_image_bounds(cam, h: int, w: int) -> np.ndarray:
 
 
 class Frame:
-    def __init__(self, feats, cam, timestamp: float, frame_id=None):
-        """feats: FrameFeatures for ONE frame (leading batch dim stripped)."""
+    def __init__(self, feats, cam, timestamp: float, frame_id=None,
+                 host=None, j_und=None):
+        """feats: FrameFeatures for ONE frame (leading batch dim stripped).
+
+        `host`, when given, is the pre-transferred tuple
+        (kp_xy, kp_octave, kp_angle, kp_response, desc, kp_valid, kp_und) —
+        the fused tracking path batches these into its single device_get, so
+        the constructor must not issue another transfer. `j_und` likewise
+        passes the device-side undistorted coordinates computed in the fused
+        step. Derived device arrays (`j_und` without distortion work, `j_bits`)
+        are lazy: each is one device dispatch, only paid by the code paths
+        that actually use them (fallback matchers)."""
         import jax
 
         self.id = next(_frame_counter) if frame_id is None else frame_id
         self.timestamp = timestamp
+        self._cam = cam
 
-        # keep device-resident caches (used by every matcher call) and pull
-        # the host copies in ONE batched transfer — per-field np.asarray
-        # calls are separate device->host round-trips, which dominate
-        # per-frame wall time on a remote-TPU tunnel
         self.j_xy = feats.xy
         self.j_octave = feats.octave
         self.j_angle = feats.angle
         self.j_valid = feats.valid
-        if cam.has_distortion:
-            self.j_und = camera.undistort_points(
-                feats.xy, jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs))
-        else:
-            self.j_und = feats.xy
-        self.j_bits = matcher.unpack_bits_pm1(feats.desc)
+        self.j_desc = feats.desc
+        self._j_und = j_und
+        self._j_bits = None
 
-        (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
-         self.desc, self.kp_valid, self.kp_und) = jax.device_get(
-            (feats.xy, feats.octave, feats.angle, feats.response,
-             feats.desc, feats.valid, self.j_und))
+        if host is not None:
+            (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
+             self.desc, self.kp_valid, self.kp_und) = host
+        else:
+            # ONE batched transfer — per-field np.asarray calls are separate
+            # device->host round-trips, which dominate per-frame wall time on
+            # a remote-TPU tunnel
+            (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
+             self.desc, self.kp_valid, self.kp_und) = jax.device_get(
+                (feats.xy, feats.octave, feats.angle, feats.response,
+                 feats.desc, feats.valid, self.j_und))
 
         n = len(self.kp_xy)
         self.mp_ids = np.full(n, -1, np.int64)
@@ -67,6 +78,23 @@ class Frame:
         self.Rcw = np.eye(3, dtype=np.float32)
         self.tcw = np.zeros(3, np.float32)
         self.pose_set = False
+
+    @property
+    def j_und(self):
+        if self._j_und is None:
+            cam = self._cam
+            if cam.has_distortion:
+                self._j_und = camera.undistort_points(
+                    self.j_xy, jnp.asarray(cam.K), jnp.asarray(cam.dist_coeffs))
+            else:
+                self._j_und = self.j_xy
+        return self._j_und
+
+    @property
+    def j_bits(self):
+        if self._j_bits is None:
+            self._j_bits = matcher.unpack_bits_pm1(self.j_desc)
+        return self._j_bits
 
     @property
     def n_kp(self):

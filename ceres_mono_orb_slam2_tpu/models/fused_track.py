@@ -1,0 +1,182 @@
+"""Fused per-frame tracking step: the production hot loop in ONE device call.
+
+The reference's per-frame path (Tracking.cc:265-383) is: motion-model
+projection search (SearchByProjection, ORBmatcher.cc:1161-1271, with the
+15->30 window retry at :662-668), a motion-only pose solve
+(CeresOptimizer::PoseOptimization), then local-map tracking: frustum + scale
+prediction for every local point (Frame::isInFrustum, Frame.cc:191-241),
+SearchByProjection overload #1 (ORBmatcher.cc:42-119), and a second pose
+solve. Round 2 shipped each of those as separate device calls with
+host round-trips between them — correct, but ~0.48 s/frame of RPC latency
+through a remote-TPU tunnel while the same math ran in 7 ms inside the
+benchmark-only fused step.
+
+This module IS that fused step, wired for the live Tracking state machine:
+
+  one jit:  [ motion-model match (both window widths, traced select)
+              -> trimmed-LM pose solve #1
+              -> frustum + scale prediction over the local-map block
+              -> local projection match
+              -> trimmed-LM pose solve #2 ]
+
+Inputs arrive as: the current frame's extractor features (device-resident,
+straight from the extractor jit), the previous frame's features (device
+handles carried between steps), two small host uploads (last-frame point
+positions + the local-map block gathered from models/device_map.DeviceMapPool)
+and the predicted pose. Everything the host needs back — final pose, all
+match indices, inlier masks, gate counters, the frame's host-side feature
+copies — returns in ONE batched device_get.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ceres_mono_orb_slam2_tpu.ops import camera, frustum, lie, matcher, optim
+
+
+class FusedOut(NamedTuple):
+    R: jnp.ndarray  # (3,3) final pose
+    t: jnp.ndarray  # (3,)
+    und: jnp.ndarray  # (N,2) undistorted current keypoints
+    m1_idx: jnp.ndarray  # (N,) per-LAST-slot matched current kp
+    m1_valid: jnp.ndarray  # (N,)
+    inl1: jnp.ndarray  # (N,) per-kp stage-1 inliers
+    n1_matches: jnp.ndarray  # () int32 motion-model match count
+    n1_inliers: jnp.ndarray  # ()
+    m2_idx: jnp.ndarray  # (L,) per-local-row matched current kp
+    m2_valid: jnp.ndarray  # (L,)
+    visible: jnp.ndarray  # (L,) frustum-visible local rows
+    assoc: jnp.ndarray  # (N,) bool: kp slot bound after both stages
+    inl2: jnp.ndarray  # (N,) final inlier mask
+    n2_inliers: jnp.ndarray  # ()
+
+
+def build_fused_step(config):
+    """Build the fused step closure for one camera/ORB configuration.
+    Compiles per (N, L) shape pair (keypoint budget x local-block bucket)."""
+    cam = config.camera
+    K = jnp.asarray(cam.K)
+    dist = jnp.asarray(cam.dist_coeffs) if cam.has_distortion else None
+    scales = jnp.asarray(config.orb.scale_factors)
+    inv_sigma2 = jnp.asarray(config.orb.inv_level_sigma2.astype(np.float32))
+    log_scale = float(np.log(config.orb.scale_factor))
+    n_levels = config.orb.n_levels
+
+    def _match_motion(d, und, cur_oct, cur_angle, cur_valid,
+                      last_oct, last_angle, pr_uv, pr_ok, th):
+        """SearchByProjection vs last frame (ORBmatcher.cc:1161-1271) for one
+        static window width; `d` is the shared (N, N) Hamming matrix (computed
+        once for both widths — the matmul is the expensive part)."""
+        r = th * scales[last_oct]
+        du = jnp.abs(pr_uv[:, 0:1] - und[None, :, 0])
+        dv = jnp.abs(pr_uv[:, 1:2] - und[None, :, 1])
+        in_w = (du <= r[:, None]) & (dv <= r[:, None])
+        lvl = (cur_oct[None, :] >= last_oct[:, None] - 1) & (
+            cur_oct[None, :] <= last_oct[:, None] + 1)
+        mask = in_w & lvl & cur_valid[None, :] & pr_ok[:, None]
+        best_val, best_idx, _, _ = matcher.masked_top2(d, mask)
+        valid = pr_ok & (best_val <= matcher.TH_HIGH)
+        valid = matcher.rotation_consistency_mask(last_angle, cur_angle[best_idx], valid)
+        valid = matcher.resolve_duplicate_targets(best_idx, best_val, valid, und.shape[0])
+        return best_idx, valid
+
+    def _match_local(und, cur_oct, cur_bits, cur_valid, kp_free,
+                     uv, level, viewcos, l_bits, cand_ok, th):
+        """SearchByProjection overload #1 (ORBmatcher.cc:42-119) with a
+        TRACED radius multiplier (the reference widens th to 5 right after a
+        relocalization, Tracking.cc:808-812)."""
+        r = matcher.radius_by_viewing_cos(viewcos) * th * scales[level]
+        du = jnp.abs(uv[:, 0:1] - und[None, :, 0])
+        dv = jnp.abs(uv[:, 1:2] - und[None, :, 1])
+        in_w = (du <= r[:, None]) & (dv <= r[:, None])
+        lvl = (cur_oct[None, :] >= level[:, None] - 1) & (cur_oct[None, :] <= level[:, None])
+        mask = in_w & lvl & cur_valid[None, :] & kp_free[None, :] & cand_ok[:, None]
+        d = matcher.hamming_matrix(l_bits, cur_bits)
+        best_val, best_idx, second_val, second_idx = matcher.masked_top2(d, mask)
+        blvl = cur_oct[best_idx]
+        slvl = cur_oct[second_idx]
+        ratio_ok = (blvl != slvl) | (
+            best_val.astype(jnp.float32) <= 0.8 * second_val.astype(jnp.float32))
+        valid = cand_ok & (best_val <= matcher.TH_HIGH) & ratio_ok
+        valid = matcher.resolve_duplicate_targets(best_idx, best_val, valid, und.shape[0])
+        return best_idx, valid
+
+    @jax.jit
+    def step(
+        cur_xy, cur_oct, cur_angle, cur_desc, cur_valid,  # current frame (N,...)
+        last_oct, last_angle, last_desc,  # previous frame (N,...)
+        last_pos, last_ok, last_local_row,  # (N,3),(N,),(N,) host uploads
+        R_pred, t_pred,  # motion-model prediction
+        l_pos, l_normal, l_mind, l_maxd, l_desc, l_valid,  # local block (L,...)
+        bounds,  # (4,)
+        th_local,  # () traced radius multiplier
+    ) -> FusedOut:
+        N = cur_xy.shape[0]
+        L = l_pos.shape[0]
+        und = camera.undistort_points(cur_xy, K, dist) if dist is not None else cur_xy
+        cur_bits = matcher.unpack_bits_pm1(cur_desc)
+        last_bits = matcher.unpack_bits_pm1(last_desc)
+        w = inv_sigma2[cur_oct]
+
+        # ---- stage 1: motion-model projection match + pose solve ----------
+        Xc = last_pos @ R_pred.T + t_pred
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        pr_uv = jnp.stack([K[0, 0] * Xc[:, 0] / z + K[0, 2],
+                           K[1, 1] * Xc[:, 1] / z + K[1, 2]], axis=-1)
+        pr_ok = last_ok & (Xc[:, 2] > 0)
+
+        d1 = matcher.hamming_matrix(last_bits, cur_bits)
+        i15, v15 = _match_motion(d1, und, cur_oct, cur_angle, cur_valid,
+                                 last_oct, last_angle, pr_uv, pr_ok, 15.0)
+        i30, v30 = _match_motion(d1, und, cur_oct, cur_angle, cur_valid,
+                                 last_oct, last_angle, pr_uv, pr_ok, 30.0)
+        n15 = jnp.sum(v15.astype(jnp.int32))
+        use15 = n15 >= 20  # reference retry-wider gate (Tracking.cc:662-668)
+        m1_idx = jnp.where(use15, i15, i30)
+        m1_valid = jnp.where(use15, v15, v30)
+        n1 = jnp.where(use15, n15, jnp.sum(v30.astype(jnp.int32)))
+
+        safe1 = jnp.where(m1_valid, m1_idx, N)
+        pos1 = jnp.zeros((N + 1, 3), jnp.float32).at[safe1].set(last_pos)[:-1]
+        ok1 = jnp.zeros((N + 1,), bool).at[safe1].set(m1_valid)[:-1]
+        res1 = optim.pose_optimization(K, R_pred, t_pred, pos1, und, w, ok1)
+        inl1 = res1.inliers
+        bound1 = ok1 & inl1
+
+        # ---- stage 2: local-map frustum + match + pose solve --------------
+        uv2, level2, viewcos2, visible = frustum.frustum_and_scale(
+            res1.R, res1.t, K, bounds, l_pos, l_normal, l_mind, l_maxd,
+            l_valid, log_scale, n_levels)
+        # exclude local rows whose point is already bound through stage 1
+        # (reference skips candidates with last_frame_seen == current id,
+        # Tracking.cc:797-804)
+        bound_last = m1_valid & inl1[m1_idx]
+        rr = jnp.where(bound_last & (last_local_row >= 0), last_local_row, L)
+        excl = jnp.zeros((L + 1,), bool).at[rr].set(True)[:L]
+        cand_ok = visible & ~excl
+        kp_free = cur_valid & ~bound1
+        l_bits = matcher.unpack_bits_pm1(l_desc)
+        m2_idx, m2_valid = _match_local(und, cur_oct, cur_bits, cur_valid, kp_free,
+                                        uv2, level2, viewcos2, l_bits, cand_ok, th_local)
+
+        safe2 = jnp.where(m2_valid, m2_idx, N)
+        pos2 = jnp.zeros((N + 1, 3), jnp.float32).at[safe2].set(l_pos)[:-1]
+        ok_new = jnp.zeros((N + 1,), bool).at[safe2].set(m2_valid)[:-1]
+        pos_kp = jnp.where(bound1[:, None], pos1, pos2)
+        assoc = bound1 | ok_new
+        res2 = optim.pose_optimization(K, res1.R, res1.t, pos_kp, und, w, assoc)
+
+        return FusedOut(
+            R=res2.R, t=res2.t, und=und,
+            m1_idx=m1_idx, m1_valid=m1_valid, inl1=inl1,
+            n1_matches=n1, n1_inliers=res1.n_inliers,
+            m2_idx=m2_idx, m2_valid=m2_valid, visible=visible,
+            assoc=assoc, inl2=res2.inliers, n2_inliers=res2.n_inliers,
+        )
+
+    return step

@@ -133,6 +133,23 @@ class Map:
         self.update_lock = threading.RLock()
         self.keyframe_db = None  # optional BoW database, notified on erase
         self.image_bounds = None  # (4,) [min_x, max_x, min_y, max_y], set by Tracking
+        # Device-pool synchronization (models/device_map.DeviceMapPool):
+        # every mutation of a map point's device-relevant state (pos,
+        # descriptor, normal, scale distances, liveness) lands its id here so
+        # the pool uploads only deltas between frames. `map_epoch` bumps on
+        # clear() so pools know to drop everything.
+        self.mp_dirty: set = set()
+        self.map_epoch = 0
+
+    def note_mp_dirty(self, mid: int):
+        self.mp_dirty.add(mid)
+
+    def note_all_mp_dirty(self):
+        """Bulk invalidation after whole-map rewrites (GBA apply, loop
+        correction): every live point's device mirror is stale."""
+        for mid, mp in self.map_points.items():
+            if not mp.bad:
+                self.mp_dirty.add(mid)
 
     # ----- creation / deletion -------------------------------------------------
 
@@ -146,6 +163,7 @@ class Map:
         mp = MapPoint(self.next_mp_id, pos, descriptor, ref_kf_id)
         self.next_mp_id += 1
         self.map_points[mp.id] = mp
+        self.mp_dirty.add(mp.id)
         return mp
 
     def get_mp(self, mid: int) -> Optional[MapPoint]:
@@ -186,6 +204,7 @@ class Map:
 
     def set_bad_map_point(self, mp: MapPoint):
         mp.bad = True
+        self.mp_dirty.add(mp.id)
         for kf_id, idx in list(mp.observations.items()):
             kf = self.keyframes.get(kf_id)
             if kf is not None and kf.mp_ids[idx] == mp.id:
@@ -211,6 +230,7 @@ class Map:
         mp.observations.clear()
         mp.bad = True
         mp.replaced_by = target.id
+        self.mp_dirty.add(mp.id)
         self.compute_distinctive_descriptor(target)
 
     def update_connections(self, kf: KeyFrame):
@@ -319,6 +339,7 @@ class Map:
         dist = hamming_np(D[:, None, :], D[None, :, :])
         medians = np.median(dist, axis=1)
         mp.descriptor = D[int(np.argmin(medians))].copy()
+        self.mp_dirty.add(mp.id)
 
     def update_normal_and_depth(self, mp: MapPoint, scale_factors: np.ndarray):
         """Reference MapPoint::UpdateNormalAndDepth (MapPoint.cc:335-388)."""
@@ -350,6 +371,7 @@ class Map:
         mp.max_dist = dist * float(scale_factors[level])
         mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
         mp.normal = (normal / n).astype(np.float32)
+        self.mp_dirty.add(mp.id)
 
     # ----- misc ------------------------------------------------------------------
 
@@ -371,3 +393,5 @@ class Map:
         self.next_kf_id = 0
         self.next_mp_id = 0
         self.keyframe_origins.clear()
+        self.mp_dirty.clear()
+        self.map_epoch += 1

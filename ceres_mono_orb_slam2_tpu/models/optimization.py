@@ -129,6 +129,7 @@ def run_global_ba(m, config, loop_kf_id: int, n_iters: int = 50,
                 Ro, to = gba_bef[ref.id]
                 Xc = Ro @ mp.pos + to
                 mp.pos = (ref.Rcw.T @ (Xc - ref.tcw)).astype(np.float32)
+        m.note_all_mp_dirty()  # device pools must re-mirror every position
         m.big_change_idx += 1
     return True
 
@@ -199,4 +200,5 @@ def global_bundle_adjustment(m, config, n_iters: int = 20, fixed_kf_ids=None,
             kf.tcw = tn[s]
     for mp in mps:
         mp.pos = ptsn[mp_slot[mp.id]]
+    m.note_all_mp_dirty()
     return True

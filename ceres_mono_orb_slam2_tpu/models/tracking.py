@@ -74,6 +74,16 @@ class Tracking:
         self.frame_stats = []
         self._stat = {}
 
+        # Fused hot path (models/fused_track): the normal-state per-frame
+        # pipeline (motion-model match -> pose solve -> local-map frustum +
+        # match -> pose solve) as ONE device call against the device-resident
+        # map pool, with a single batched device_get. Falls back to the
+        # multi-dispatch legacy path for init/reloc/refkf frames.
+        self.fused_enabled = bool(getattr(config, "fused_tracking", True))
+        self._pool = None
+        self._fused_step = None
+        self.n_fused_frames = 0
+
     # ------------------------------------------------------------------ utils
 
     def _next_key(self):
@@ -92,9 +102,13 @@ class Tracking:
     def grab_image(self, image: np.ndarray, timestamp: float):
         """Reference Tracking::GrabImageMonocular + Track()
         (Tracking.cc:154-383). Returns Tcw (4,4) or None if not tracked."""
-        self.current = self.build_frame(image, timestamp)
-        with self.map.update_lock:
-            self._track()
+        if self._can_fuse():
+            with self.map.update_lock:
+                self._grab_fused(image, timestamp)
+        else:
+            self.current = self.build_frame(image, timestamp)
+            with self.map.update_lock:
+                self._track()
         f = self.current
         self.last_frame = f
         if f.pose_set:
@@ -103,6 +117,220 @@ class Tracking:
             T[:3, 3] = f.tcw
             return T
         return None
+
+    # ------------------------------------------------------------- fused path
+
+    def _can_fuse(self) -> bool:
+        return (
+            self.fused_enabled
+            and self.state == State.OK
+            and self.velocity is not None
+            and not self.localization_only
+            and self.bounds is not None
+            and self.last_frame is not None
+            and self.last_frame.pose_set
+            and self.map.n_keyframes() >= 2
+        )
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from ceres_mono_orb_slam2_tpu.models.device_map import DeviceMapPool
+
+            self._pool = DeviceMapPool(self.map)
+        return self._pool
+
+    def _local_block(self, frame: Frame):
+        """Local-map candidate block for the fused step, derived from the
+        given (previous) frame's associations: unique map-point pool slots
+        over the local keyframes (UpdateLocalPoints, Tracking.cc:954-977)."""
+        local_kfs = self._local_keyframes(frame)
+        if not local_kfs:
+            return [], np.zeros(0, np.int32)
+        # The legacy walk adds ONE neighbor per source keyframe per pass
+        # (reference Tracking.cc:928-946) because candidates are expensive on
+        # a CPU. The fused block is matched by one MXU matmul where extra
+        # rows are nearly free — and since this block derives from the
+        # PREVIOUS frame's associations (one frame stale), a full 1-hop
+        # covisibility closure is what keeps the frontier keyframes' points
+        # in the block while the camera sweeps.
+        expanded = list(local_kfs)
+        seen = set(local_kfs)
+        for kf_id in local_kfs:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            for nb in kf.best_covisible(10) + list(kf.children) + (
+                    [kf.parent] if kf.parent is not None else []):
+                if nb not in seen:
+                    nkf = self.map.keyframes.get(nb)
+                    if nkf is not None and not nkf.bad:
+                        expanded.append(nb)
+                        seen.add(nb)
+        local_kfs = expanded[:96]
+        pool = self._pool
+        chunks = []
+        for kf_id in local_kfs:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is not None and not kf.bad:
+                mids = kf.mp_ids
+                chunks.append(mids[mids >= 0])
+        if not chunks:
+            return local_kfs, np.zeros(0, np.int32)
+        ids = np.unique(np.concatenate(chunks))
+        slots = pool.slots_for_ids(ids)
+        slots = slots[slots >= 0]
+        cap = self.config.shapes.max_local_points
+        if len(slots) > cap:
+            log.warning("local map truncated: %d candidate points > cap %d "
+                        "(raise StaticShapes.max_local_points)", len(slots), cap)
+            slots = slots[:cap]
+        return local_kfs, slots
+
+    def _grab_fused(self, image: np.ndarray, timestamp: float):
+        """The production per-frame hot path: ONE fused device call (see
+        models/fused_track) + ONE batched device_get, then host bookkeeping.
+        Reference behavior covered: TrackWithMotionModel + TrackLocalMap
+        (Tracking.cc:617-671, 673-715); falls back to the legacy
+        TrackReferenceKeyFrame path when the motion-model gates fail."""
+        import time
+
+        t0 = time.perf_counter()
+        lf = self.last_frame
+        self._check_replaced_in_last_frame()
+        self._update_last_frame()
+        Rv, tv = self.velocity
+        R_pred = (Rv @ lf.Rcw).astype(np.float32)
+        t_pred = (Rv @ lf.tcw + tv).astype(np.float32)
+        last_pos, last_ok = self._gather_frame_points(lf)
+
+        pool = self._ensure_pool()
+        pool.sync()
+        local_kfs, slots = self._local_block(lf)
+
+        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
+
+        L = bucket(max(len(slots), 1), 512)
+        slots_padded = np.full(L, pool.cap, np.int32)
+        slots_padded[: len(slots)] = slots
+        lblock = pool.gather(slots_padded)
+        row_of = pool.row_map(slots)
+        ls = pool.slots_for_ids(lf.mp_ids)
+        last_local_row = np.where(ls >= 0, row_of[np.maximum(ls, 0)], -1).astype(np.int32)
+
+        feats = self.extractor.extract(image)
+        feats = jax.tree_util.tree_map(lambda a: a[0], feats)
+
+        if self._fused_step is None:
+            from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
+
+            self._fused_step = build_fused_step(self.config)
+
+        # wider search right after a relocalization (reference Tracking.cc:808)
+        th_local = np.float32(5.0 if lf.id + 1 < self.last_reloc_frame_id + 2 else 1.0)
+        out = self._fused_step(
+            feats.xy, feats.octave, feats.angle, feats.desc, feats.valid,
+            lf.j_octave, lf.j_angle, lf.j_desc,
+            jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            *lblock, self.j_bounds, th_local,
+        )
+        # the ONE device->host transfer of the frame
+        (R2, t2, und, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
+         assoc, inl2, ninl2, h_xy, h_resp, h_angle, h_oct, h_valid, h_desc) = jax.device_get((
+            out.R, out.t, out.und, out.m1_idx, out.m1_valid, out.inl1,
+            out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
+            out.visible, out.assoc, out.inl2, out.n2_inliers,
+            feats.xy, feats.response, feats.angle, feats.octave,
+            feats.valid, feats.desc))
+
+        f = Frame(feats, self.cam, timestamp,
+                  host=(h_xy, h_oct, h_angle, h_resp, h_desc, h_valid, und),
+                  j_und=out.und)
+        self.current = f
+        self._stat = {"frame_id": f.id, "timestamp": f.timestamp,
+                      "n_kp": int(h_valid.sum()), "method": "fused",
+                      "local_kfs": len(local_kfs), "local_points": int(len(slots))}
+
+        n1 = int(n1)
+        ninl1 = int(ninl1)
+        if n1 < 20 or ninl1 < 10:
+            # motion-model failure: legacy TrackReferenceKeyFrame fallback
+            self._stat["method"] = "refkf"
+            ok = self._track_reference_keyframe()
+            self._stat["inliers_frame"] = self.matches_inliers if ok else 0
+            if ok:
+                ok = self._track_local_map()
+            self._stat["inliers_local"] = self.matches_inliers
+            self._finish_track(ok, t0)
+            return
+
+        self.n_fused_frames += 1
+        # ---- association bookkeeping (host) -------------------------------
+        f.set_pose(R2, t2)
+        f.mp_ids[:] = -1
+        s_idx = np.nonzero(m1v)[0]
+        j_idx = m1_idx[s_idx]
+        keep = inl1[j_idx]
+        f.mp_ids[j_idx[keep]] = lf.mp_ids[s_idx[keep]]
+        stage1_ids = set(int(m) for m in f.mp_ids[f.mp_ids >= 0])
+        rows2 = np.nonzero(m2v)[0]
+        if len(rows2):
+            f.mp_ids[m2_idx[rows2]] = pool.id_of[slots_padded[rows2]]
+        self._dedup_mp_ids(f.mp_ids)
+        f.outlier = assoc & ~inl2
+
+        # visibility / found statistics (reference SearchLocalPoints +
+        # Tracking.cc:694-706)
+        mp_table = self.map.map_points
+        for mid in stage1_ids:
+            mp = mp_table.get(mid)
+            if mp is not None and not mp.bad:
+                mp.n_visible += 1
+                mp.last_frame_seen = f.id
+        id_of = pool.id_of
+        for row in np.nonzero(visible[: len(slots)])[0]:
+            mid = int(id_of[slots[row]])
+            if mid < 0 or mid in stage1_ids:
+                continue
+            mp = mp_table.get(mid)
+            if mp is not None and not mp.bad:
+                mp.n_visible += 1
+                mp.last_frame_seen = f.id
+        inl_slots = np.nonzero((f.mp_ids >= 0) & ~f.outlier)[0]
+        for i in inl_slots:
+            mp = mp_table.get(int(f.mp_ids[i]))
+            if mp is not None and not mp.bad:
+                mp.n_found += 1
+
+        # reference keyframe = max shared count over the MOTION-MODEL stage's
+        # bindings (UpdateLocalKeyFrames runs before SearchLocalPoints,
+        # Tracking.cc:858-926, so its counts exclude this frame's local-map
+        # additions). Counting the local additions too would bias the ref
+        # toward the newest frontier keyframe, whose tracked_map_points(3) is
+        # still immature — which starves NeedNewKeyFrame's
+        # `inliers < 0.9 * ref_matches` trigger and collapses the keyframe
+        # cadence (observed: inlier sawtooth 157->21 on the circle world).
+        counts = {}
+        for mid in stage1_ids:
+            mp = mp_table.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            for kf_id in mp.observations:
+                counts[kf_id] = counts.get(kf_id, 0) + 1
+        if counts:
+            best = max(counts, key=counts.get)
+            kf = self.map.keyframes.get(best)
+            if kf is not None and not kf.bad:
+                self.ref_kf_id = best
+
+        self.matches_inliers = int(ninl2)
+        self._stat["inliers_frame"] = ninl1
+        self._stat["inliers_local"] = self.matches_inliers
+        if f.id < self.last_reloc_frame_id + self.max_frames and self.matches_inliers < 50:
+            ok = False
+        else:
+            ok = self.matches_inliers >= 30
+        self._finish_track(ok, t0)
 
     # ------------------------------------------------------------------ track
 
@@ -142,6 +370,15 @@ class Tracking:
         if ok and not (self.localization_only and self.do_vo):
             ok = self._track_local_map()
         self._stat["inliers_local"] = self.matches_inliers
+        self._finish_track(ok, t0)
+
+    def _finish_track(self, ok: bool, t0: float):
+        """Shared tail of Track() (reference Tracking.cc:305-383): stats,
+        state transition, velocity update, outlier cleanup, keyframe
+        decision, trajectory log, lost-soon reset."""
+        import time
+
+        f = self.current
         self._stat["ok"] = bool(ok)
         self._stat["track_ms"] = (time.perf_counter() - t0) * 1e3
         self._stat["n_kfs"] = self.map.n_keyframes()
@@ -454,11 +691,13 @@ class Tracking:
 
     # -------------------------------------------------------------- local map
 
-    def _update_local_map(self):
-        """Reference UpdateLocalKeyFrames/Points (Tracking.cc:838-977)."""
-        f = self.current
+    def _local_keyframes(self, frame: Frame):
+        """Local-keyframe walk of UpdateLocalKeyFrames (Tracking.cc:838-977)
+        for the given frame's associations: keyframes observing the frame's
+        map points, ordered by shared count, expanded with covisibility
+        neighbors / children / parent, capped at 80."""
         counts = {}
-        for mid in f.mp_ids:
+        for mid in frame.mp_ids:
             if mid < 0:
                 continue
             mp = self.map.get_mp(int(mid))
@@ -467,7 +706,7 @@ class Tracking:
             for kf_id in mp.observations:
                 counts[kf_id] = counts.get(kf_id, 0) + 1
         if not counts:
-            return [], []
+            return []
         local_kfs = []
         seen = set()
         for kf_id in sorted(counts, key=counts.get, reverse=True):
@@ -475,7 +714,6 @@ class Tracking:
             if kf is not None and not kf.bad:
                 local_kfs.append(kf_id)
                 seen.add(kf_id)
-        self.ref_kf_id = local_kfs[0]
         # expand with neighbors / children / parent, cap 80 (Tracking.cc:928)
         for kf_id in list(local_kfs):
             if len(local_kfs) > 80:
@@ -490,6 +728,14 @@ class Tracking:
                         local_kfs.append(nb)
                         seen.add(nb)
                         break  # reference adds one neighbor per source KF pass
+        return local_kfs
+
+    def _update_local_map(self):
+        """Reference UpdateLocalKeyFrames/Points (Tracking.cc:838-977)."""
+        local_kfs = self._local_keyframes(self.current)
+        if not local_kfs:
+            return [], []
+        self.ref_kf_id = local_kfs[0]
         # local points
         mp_ids = []
         mp_seen = set()

@@ -183,6 +183,10 @@ class SlamConfig:
     viewer: ViewerConfig = field(default_factory=ViewerConfig)
     shapes: StaticShapes = field(default_factory=StaticShapes)
     use_viewer: bool = False
+    # fused per-frame device pipeline for normal-state tracking (ONE device
+    # call + ONE device_get per frame against the device-resident map pool;
+    # models/fused_track). False = the multi-dispatch legacy path everywhere.
+    fused_tracking: bool = True
 
     def __post_init__(self):
         self.shapes = self.shapes.resolve(self.orb)

@@ -334,6 +334,135 @@ def make_sequence(
     )
 
 
+def _resample_texture(tex: np.ndarray, th: int, tw: int) -> np.ndarray:
+    ys = np.linspace(0, tex.shape[0] - 1, th)
+    xs = np.linspace(0, tex.shape[1] - 1, tw)
+    return _bilinear(tex, xs[None, :].repeat(th, 0), ys[:, None].repeat(tw, 1)).astype(np.float32)
+
+
+def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
+                         background: float = 25.0, chunk: int = 8,
+                         tex_h: int = 160, tex_w: int = 512) -> np.ndarray:
+    """Device (jit) port of `_render`: the per-pixel plane-intersection ray
+    tracer, vmapped over planes and batched over frames. The numpy renderer
+    costs ~6 s/frame; this runs in milliseconds on an accelerator, which is
+    what makes a full-length rendered benchmark sequence feasible at bench
+    time (bench.py full-system metric) without a pre-populated disk cache.
+    Textures are resampled to a common (tex_h, tex_w) so all planes pack into
+    one (P, th, tw) tensor; sampling is bilinear in normalized coordinates
+    either way, so the scene content is equivalent."""
+    import jax
+    from functools import partial
+
+    P = len(planes)
+    origin = np.stack([p.origin for p in planes]).astype(np.float32)
+    ex = np.stack([p.ex for p in planes]).astype(np.float32)
+    ey = np.stack([p.ey for p in planes]).astype(np.float32)
+    size = np.array([p.size for p in planes], np.float32)
+    tex = np.stack([_resample_texture(p.texture, tex_h, tex_w) for p in planes])
+
+    @partial(jax.jit, static_argnames=("hh", "ww"))
+    def render_batch(jorigin, jex, jey, jsize, jtex, jK, jRcw, jtcw, hh: int, ww: int):
+        us, vs = jnp.meshgrid(jnp.arange(ww, dtype=jnp.float32),
+                              jnp.arange(hh, dtype=jnp.float32))
+        d_cam = jnp.stack([(us - jK[0, 2]) / jK[0, 0],
+                           (vs - jK[1, 2]) / jK[1, 1],
+                           jnp.ones_like(us)], axis=-1)  # (h, w, 3)
+
+        def one_frame(Rcw_f, tcw_f):
+            Rwc = Rcw_f.T
+            c = -Rwc @ tcw_f
+            d_world = d_cam @ Rwc.T  # (h, w, 3)
+
+            def one_plane(o, e1, e2, sz, tx_img):
+                n = jnp.cross(e1, e2)
+                denom = d_world @ n
+                denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+                s = ((o - c) @ n) / denom
+                X = c + s[..., None] * d_world
+                rel = X - o
+                tu = rel @ e1
+                tv = rel @ e2
+                inside = (s > 0.1) & (tu >= 0) & (tu < sz[0]) & (tv >= 0) & (tv < sz[1])
+                tx = jnp.clip(tu / sz[0] * (tex_w - 1), 0.0, tex_w - 1.0)
+                ty = jnp.clip(tv / sz[1] * (tex_h - 1), 0.0, tex_h - 1.0)
+                x0 = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, tex_w - 2)
+                y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, tex_h - 2)
+                fx = tx - x0
+                fy = ty - y0
+                v00 = tx_img[y0, x0]
+                v01 = tx_img[y0, x0 + 1]
+                v10 = tx_img[y0 + 1, x0]
+                v11 = tx_img[y0 + 1, x0 + 1]
+                val = (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+                return jnp.where(inside, s, jnp.inf), val
+
+            s_all, v_all = jax.vmap(one_plane)(jorigin, jex, jey, jsize, jtex)  # (P,h,w)
+            best = jnp.argmin(s_all, axis=0)
+            hit = jnp.isfinite(jnp.min(s_all, axis=0))
+            img = jnp.take_along_axis(v_all, best[None], axis=0)[0]
+            return jnp.where(hit, img, background)
+
+        return jax.vmap(one_frame)(jRcw, jtcw)
+
+    out = []
+    jargs = (jnp.asarray(origin), jnp.asarray(ex), jnp.asarray(ey),
+             jnp.asarray(size), jnp.asarray(tex), jnp.asarray(K.astype(np.float32)))
+    n = len(Rcw)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        # pad the last chunk to the bucket so only ONE shape compiles
+        Rc = np.concatenate([Rcw[i:j]] + [Rcw[j - 1:j]] * (chunk - (j - i)))
+        tc = np.concatenate([tcw[i:j]] + [tcw[j - 1:j]] * (chunk - (j - i)))
+        imgs = render_batch(*jargs, jnp.asarray(Rc.astype(np.float32)),
+                            jnp.asarray(tc.astype(np.float32)), h, w)
+        out.append(np.asarray(imgs)[: j - i])
+    return np.concatenate(out)
+
+
+def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: float,
+                                  motion: str = "strafe", step: float = 0.06,
+                                  seed: int = 0, noise: float = 1.0,
+                                  fps: float = 30.0) -> SyntheticSequence:
+    """Same worlds/trajectories as `make_sequence`, rendered on device."""
+    rng = np.random.default_rng(seed)
+    cx, cy = w / 2.0, h / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    if motion == "circle":
+        planes = ring_world(rng)
+    else:
+        planes = default_world(rng, extent=max(n_frames * step * 1.5, 10.0))
+    Rs, ts, stamps = [], [], []
+    for k in range(n_frames):
+        if motion == "strafe":
+            c = np.array([k * step, 0.1 * np.sin(k * 0.3), 0.04 * np.sin(k * 0.2)], np.float64)
+            w_rot = np.array([0.003 * np.sin(k * 0.5), 0.004 * k, 0.001 * k], np.float64)
+        elif motion == "forward":
+            c = np.array([0.3 * k * step, 0.0, 0.6 * k * step], np.float64)
+            w_rot = np.array([0.0, 0.002 * k, 0.0], np.float64)
+        elif motion == "circle":
+            a = step * k
+            c = np.array([3.0 * np.sin(a), 0.02 * np.sin(3 * a), 3.0 * np.cos(a)], np.float64)
+            w_rot = np.array([0.0, a, 0.0], np.float64)
+        else:
+            ang = 0.015 * k
+            c = np.array([4.0 * np.sin(ang), 0.0, 4.0 * (1 - np.cos(ang))], np.float64)
+            w_rot = np.array([0.0, ang, 0.0], np.float64)
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray(w_rot)), np.float64)
+        Rcw_k = Rwc.T
+        Rs.append(Rcw_k.astype(np.float32))
+        ts.append((-Rcw_k @ c).astype(np.float32))
+        stamps.append(k / fps)
+    Rcw = np.stack(Rs)
+    tcw = np.stack(ts)
+    images = render_frames_device(planes, K, Rcw, tcw, h, w)
+    if noise > 0:
+        images = images + rng.standard_normal(images.shape).astype(np.float32) * noise
+    images = np.clip(images, 0, 255).astype(np.float32)
+    return SyntheticSequence(images=images, poses_Rcw=Rcw, poses_tcw=tcw,
+                             timestamps=np.array(stamps, np.float64), K=K)
+
+
 def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error (camera centers) after sim3 alignment (the
     standard mono evaluation; mono scale is free so alignment includes it)."""
