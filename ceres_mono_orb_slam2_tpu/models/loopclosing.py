@@ -74,19 +74,39 @@ class LoopClosing:
         self.queue.append(kf_id)
 
     def process_queue(self):
+        m = self.map
         while self.queue:
             kf_id = self.queue.pop(0)
-            kf = self.map.keyframes.get(kf_id)
+            kf = m.keyframes.get(kf_id)
             if kf is None or kf.bad:
                 continue
-            candidates = self._detect_loop(kf)
+            # SetNotErase protocol (reference LoopClosing.cc:113): the current
+            # keyframe is protected from KeyFrameCulling for the whole
+            # detect -> sim3 -> correct window; candidates are protected in
+            # _compute_sim3 (cc:255) and released as they fail (cc:347-394).
+            # Detection + sim3 run under the map update lock so they read a
+            # consistent keyframe/map-point snapshot while the tracker (in
+            # threaded mode) mutates under the same lock; _correct_loop is
+            # called OUTSIDE it — it drains mapping and joins the GBA thread
+            # first, and takes the lock itself around the map mutation.
+            m.set_not_erase(kf)
+            with m.update_lock:
+                candidates = self._detect_loop(kf)
+                if candidates:
+                    ok, match_kf_id, Scw, lp = self._compute_sim3(kf, candidates)
+                else:
+                    ok = False
             if not candidates:
+                m.set_erase(kf)
                 continue
-            ok, match_kf_id, Scw, lp = self._compute_sim3(kf, candidates)
             if ok:
                 log.info("Loop detected! kf %d <-> kf %d", kf.id, match_kf_id)
                 loop_points, loop_mp_ids = lp
                 self._correct_loop(kf, match_kf_id, Scw, loop_points, loop_mp_ids)
+                mkf = m.keyframes.get(match_kf_id)
+                if mkf is not None:
+                    m.set_erase(mkf)
+            m.set_erase(kf)
 
     def reset(self):
         self.queue.clear()
@@ -263,8 +283,24 @@ class LoopClosing:
         return out
 
     def _compute_sim3(self, kf: KeyFrame, candidates: List[int]):
-        """Reference ComputeSim3 (LoopClosing.cc:230-399)."""
+        """Reference ComputeSim3 (LoopClosing.cc:230-399). Every candidate is
+        SetNotErase-protected on entry (cc:255) and released when it fails
+        (cc:347-356) or when another candidate wins (cc:386-390); the winner
+        stays protected until CorrectLoop finishes."""
         m = self.map
+
+        def release(except_id=None):
+            for c in candidates:
+                if c == except_id:
+                    continue
+                okf = m.keyframes.get(c)
+                if okf is not None:
+                    m.set_erase(okf)
+
+        for cand in candidates:
+            ckf = m.keyframes.get(cand)
+            if ckf is not None:
+                m.set_not_erase(ckf)
         for cand in candidates:
             ckf = m.keyframes.get(cand)
             if ckf is None or ckf.bad:
@@ -347,8 +383,10 @@ class LoopClosing:
                 if inl[j]:
                     total[i1] = mp2.id
             if len(total) >= 40:
+                release(except_id=cand)
                 return True, cand, (Rcw_s.astype(np.float32), tcw_s.astype(np.float32), s12), \
                     (total, loop_mp_ids)
+        release()
         return False, -1, None, None
 
     # ----------------------------------------------------------- correct loop
@@ -478,8 +516,12 @@ class LoopClosing:
             # measured from the by-then-corrected poses
             mkf = m.keyframes.get(match_kf_id)
             if mkf is not None:
+                # AddLoopEdge pins both anchors against culling permanently
+                # (reference KeyFrame.cc:427-434 sets not_erase_)
                 kf.loop_edges.add(match_kf_id)
                 mkf.loop_edges.add(kf.id)
+                kf.not_erase = True
+                mkf.not_erase = True
 
         # full-map BA: 50 iters, abortable between chunks, side-field write
         # + spanning-tree propagation (reference RunGlobalBundleAdjustment,

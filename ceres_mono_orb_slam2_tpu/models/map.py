@@ -265,6 +265,23 @@ class Map:
             if parent is not None:
                 parent.children.add(kf.id)
 
+    def set_not_erase(self, kf: KeyFrame):
+        """Reference KeyFrame::SetNotErase (KeyFrame.cc:443-446): protect a
+        keyframe from culling while loop closing holds a reference to it
+        (current keyframe + loop candidates for the whole
+        detect -> sim3 -> correct window, LoopClosing.cc:113,255)."""
+        kf.not_erase = True
+
+    def set_erase(self, kf: KeyFrame):
+        """Reference KeyFrame::SetErase (KeyFrame.cc:448-458): release the
+        protection; if a cull was requested meanwhile (to_be_erased), honor
+        it now."""
+        if not kf.loop_edges:
+            kf.not_erase = False
+        if kf.to_be_erased:
+            kf.to_be_erased = False
+            self.erase_keyframe(kf)
+
     def erase_keyframe(self, kf: KeyFrame):
         """Reference KeyFrame::SetBadFlag (KeyFrame.cc:460-553): remove
         observations, detach covisibility, re-parent spanning-tree children."""

@@ -207,9 +207,14 @@ class Tracking:
         pool.sync()
         local_kfs, slots = self._local_block(lf)
 
-        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
-
-        L = bucket(max(len(slots), 1), 512)
+        # FIXED local-block size: one compile of the fused step per session.
+        # Shape buckets would halve the average matmul size but cost one
+        # multi-minute XLA compile per bucket through the remote-TPU tunnel;
+        # the (L x N) Hamming matmul at the full cap is ~sub-ms on the MXU,
+        # so a single static shape is strictly better here.
+        L = self.config.shapes.max_local_points
+        if len(slots) > L:
+            slots = slots[:L]
         slots_padded = np.full(L, pool.cap, np.int32)
         slots_padded[: len(slots)] = slots
         lblock = pool.gather(slots_padded)

