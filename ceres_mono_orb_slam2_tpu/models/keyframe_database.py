@@ -29,8 +29,7 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------- transforms
 
     def compute_bow(self, desc_u8: np.ndarray, valid: np.ndarray) -> Dict[int, float]:
-        bits = matcher.unpack_bits_pm1(jnp.asarray(desc_u8))
-        wids, _ = self.transform(bits, jnp.asarray(valid))
+        wids, _ = self.transform(jnp.asarray(desc_u8), jnp.asarray(valid))
         return bow.bow_vector(np.asarray(wids), self.voc.word_weight, self.voc.n_words)
 
     def kf_bow(self, kf) -> Dict[int, float]:

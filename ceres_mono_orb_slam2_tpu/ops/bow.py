@@ -75,9 +75,17 @@ def _kmedians_binary(descs: np.ndarray, k: int, rng, iters: int = 8):
     return centers, assign
 
 
-def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3, seed: int = 0) -> Vocabulary:
+def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3, seed: int = 0,
+                     docs=None) -> Vocabulary:
     """Hierarchical binary k-medians vocabulary (DBoW2 create equivalent).
-    descs: (N, 32) uint8 sample descriptors."""
+    descs: (N, 32) uint8 sample descriptors.
+
+    `docs`: optional list of per-image (Ni, 32) descriptor arrays — the
+    training corpus as DBoW2 sees it. When given, leaf weights are TF-IDF:
+    idf_i = ln(N_docs / n_docs_containing_word_i), words absent from the
+    corpus get weight 0 (reference TemplatedVocabulary::setNodeWeights,
+    TemplatedVocabulary.h:943-990). Without docs, weights stay uniform
+    (every training descriptor came from one 'document')."""
     rng = np.random.default_rng(seed)
     node_desc = [np.zeros(32, np.uint8)]  # root (unused descriptor)
     children: list = [[]]
@@ -114,14 +122,100 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3, seed: int 
     word_id = np.full(n, -1, np.int32)
     wids = np.nonzero(leaf_mask)[0]
     word_id[wids] = np.arange(len(wids), dtype=np.int32)
-    # uniform idf weights (reference uses TF_IDF trained from corpus; with a
-    # self-trained vocab each leaf gets idf from the training sample)
     weights = np.ones(len(wids), np.float32)
-    return Vocabulary(
+    voc = Vocabulary(
         k=kmax, levels=levels, node_desc=np.stack(node_desc), children=ch,
         is_leaf=leaf_mask, word_id=word_id, word_weight=weights,
         node_level=np.array(node_level, np.int32),
     )
+    if docs:
+        # TF-IDF: idf = ln(N_docs / Ni) over document frequency
+        # (TemplatedVocabulary.h:943-990 setNodeWeights)
+        transform = make_transform_fn(voc)
+        n_docs = len(docs)
+        df = np.zeros(voc.n_words, np.int64)
+        for d in docs:
+            d = np.asarray(d, np.uint8)
+            if len(d) == 0:
+                continue
+            w, _ = transform(jnp.asarray(d), jnp.ones(len(d), bool))
+            w = np.asarray(w)
+            df[np.unique(w[w >= 0])] += 1
+        weights = np.zeros(voc.n_words, np.float32)
+        nz = df > 0
+        weights[nz] = np.log(n_docs / df[nz].astype(np.float64)).astype(np.float32)
+        # words seen in EVERY document get idf 0; keep a small floor so they
+        # still contribute (DBoW2 keeps the exact 0 — but its corpora are
+        # large enough that this never zeroes a whole vector; tiny synthetic
+        # corpora here can, which would make L1 normalization divide by 0)
+        weights[nz] = np.maximum(weights[nz], 1e-3)
+        voc.word_weight = weights
+    return voc
+
+
+def synth_vocabulary(k: int = 10, levels: int = 6, seed: int = 0) -> Vocabulary:
+    """Structure-generate a full k^levels vocabulary tree at ORBvoc scale
+    (k=10, L=6 -> 1,111,111 nodes / 1M words, the shape the reference loads
+    from ORBvoc.txt — TemplatedVocabulary.h:1338-1423). Each node's
+    descriptor is its parent's with a level-decreasing number of random bit
+    flips (AND of m random byte masks has an expected 256/2^m set bits), so
+    nearby leaves share prefixes exactly like a trained k-medians tree.
+    Leaf weights are log-normal idf-like samples."""
+    rng = np.random.default_rng(seed)
+    level_sizes = [k ** l for l in range(levels + 1)]
+    n = sum(level_sizes)
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_level = np.zeros(n, np.int32)
+    offsets = np.cumsum([0] + level_sizes)  # level l occupies [offsets[l], offsets[l+1])
+    for l in range(1, levels + 1):
+        nl = level_sizes[l]
+        parent = node_desc[offsets[l - 1]:offsets[l]]
+        mask = rng.integers(0, 256, (nl, 32), dtype=np.uint8)
+        for _ in range(l - 1):  # AND more masks -> fewer flips deeper down
+            mask &= rng.integers(0, 256, (nl, 32), dtype=np.uint8)
+        node_desc[offsets[l]:offsets[l + 1]] = np.repeat(parent, k, axis=0) ^ mask
+        node_level[offsets[l]:offsets[l + 1]] = l
+    children = np.full((n, k), -1, np.int32)
+    for l in range(levels):
+        idx = np.arange(offsets[l], offsets[l + 1], dtype=np.int32)
+        base = offsets[l + 1] + (idx - offsets[l]) * k
+        children[idx] = base[:, None] + np.arange(k, dtype=np.int32)[None, :]
+    is_leaf = node_level == levels
+    word_id = np.full(n, -1, np.int32)
+    wids = np.nonzero(is_leaf)[0]
+    word_id[wids] = np.arange(len(wids), dtype=np.int32)
+    weights = rng.lognormal(0.0, 0.5, len(wids)).astype(np.float32)
+    return Vocabulary(k=k, levels=levels, node_desc=node_desc, children=children,
+                      is_leaf=is_leaf, word_id=word_id, word_weight=weights,
+                      node_level=node_level)
+
+
+def dump_orbvoc_text(voc: Vocabulary, path: str):
+    """Write the standard ORBvoc.txt format (header 'k L 0 3', one line per
+    non-root node: parent is_leaf d0..d31 weight, pre-order), byte-compatible
+    with TemplatedVocabulary::loadFromTextFile and our parse_orbvoc_text."""
+    import io
+
+    buf = io.StringIO()
+    buf.write(f"{voc.k} {voc.levels} 0 3\n")
+    remap = {0: 0}
+    stack = [0]
+    order = []
+    while stack:  # iterative pre-order (1M-node trees overflow recursion)
+        node = stack.pop()
+        kids = [int(c) for c in voc.children[node] if c >= 0]
+        for c in kids:
+            order.append((node, c))
+        stack.extend(reversed(kids))
+    for parent, node in order:
+        remap[node] = len(remap)
+    for parent, node in order:
+        d = " ".join(str(int(x)) for x in voc.node_desc[node])
+        wid = voc.word_id[node]
+        weight = float(voc.word_weight[wid]) if wid >= 0 else 0.0
+        buf.write(f"{remap[parent]} {int(voc.is_leaf[node])} {d} {weight}\n")
+    with open(path, "w") as f:
+        f.write(buf.getvalue())
 
 
 def parse_orbvoc_text(path: str) -> Vocabulary:
@@ -166,13 +260,16 @@ def parse_orbvoc_text(path: str) -> Vocabulary:
 
 
 def make_transform_fn(voc: Vocabulary):
-    """Returns a jitted fn: (desc_bits (N,256) pm1, valid (N,)) ->
+    """Returns a jitted fn: (desc_u8 (N,32) uint8, valid (N,)) ->
     (word_ids (N,) i32 [-1 invalid], node_path (N, L+1) i32).
 
-    Tree descent: at each level gather the K children's descriptor bit rows,
-    one Hamming argmin per descriptor (batched matmul), descend. Descriptors
-    reaching a leaf stay there (children row padded with self)."""
-    bits, children, word_id, _ = voc.device_tensors()
+    Tree descent: at each level gather the K children's PACKED descriptor
+    rows, XOR + popcount on the VPU, argmin, descend. Descriptors reaching a
+    leaf stay there (children row padded with self). Packed u8 storage keeps
+    a 1.1M-node ORBvoc-scale tree at 35 MB in HBM (the unpacked ±1 bit
+    matrix would be 570 MB) and the per-level gather is K*32 contiguous
+    bytes per descriptor."""
+    desc_j = jnp.asarray(voc.node_desc)  # (N_nodes, 32) u8, resident in HBM
     n_levels = int(voc.levels) + 2
 
     # make padded children self-referential so leaves are absorbing
@@ -183,15 +280,14 @@ def make_transform_fn(voc: Vocabulary):
     wid_j = jnp.asarray(voc.word_id)
 
     @jax.jit
-    def transform(desc_bits, valid):
-        node = jnp.zeros(desc_bits.shape[0], jnp.int32)
+    def transform(desc_u8, valid):
+        node = jnp.zeros(desc_u8.shape[0], jnp.int32)
         path = [node]
         for _ in range(n_levels):
             cand = ch_j[node]  # (N, K)
-            cand_bits = bits[cand]  # (N, K, 256)
-            # hamming via dot: (N, 1, 256) x (N, K, 256)
-            dots = jnp.einsum("nb,nkb->nk", desc_bits.astype(jnp.float32), cand_bits.astype(jnp.float32))
-            best = jnp.argmax(dots, axis=-1)  # max dot = min hamming
+            cand_desc = desc_j[cand]  # (N, K, 32) u8
+            d = matcher.hamming_pairwise(desc_u8[:, None, :], cand_desc)  # (N, K)
+            best = jnp.argmin(d, axis=-1)
             node = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
             path.append(node)
         wid = jnp.where(valid, wid_j[node], -1)

@@ -18,7 +18,7 @@ def test_train_and_transform(rng):
     voc = bow.train_vocabulary(descs, k=6, levels=3, seed=0)
     assert voc.n_words > 20
     transform = bow.make_transform_fn(voc)
-    bits = matcher.unpack_bits_pm1(jnp.asarray(descs[:64]))
+    bits = jnp.asarray(descs[:64])
     wids, path = transform(bits, jnp.ones(64, bool))
     wids = np.asarray(wids)
     assert (wids >= 0).all() and (wids < voc.n_words).all()
@@ -43,8 +43,8 @@ def test_transform_groups_similar_descriptors(rng):
         for _ in range(2):
             b = rng.integers(0, 256)
             mutated[i, b // 8] ^= 1 << (b % 8)
-    wb, _ = transform(matcher.unpack_bits_pm1(jnp.asarray(base)), jnp.ones(100, bool))
-    wm, _ = transform(matcher.unpack_bits_pm1(jnp.asarray(mutated)), jnp.ones(100, bool))
+    wb, _ = transform(jnp.asarray(base), jnp.ones(100, bool))
+    wm, _ = transform(jnp.asarray(mutated), jnp.ones(100, bool))
     same = (np.asarray(wb) == np.asarray(wm)).mean()
     assert same > 0.8
 
@@ -82,7 +82,7 @@ def test_orbvoc_text_roundtrip(rng, tmp_path):
     t1 = bow.make_transform_fn(voc)
     t2 = bow.make_transform_fn(voc2)
     q = rand_desc(rng, 64)
-    bits = matcher.unpack_bits_pm1(jnp.asarray(q))
+    bits = jnp.asarray(q)
     w1, _ = t1(bits, jnp.ones(64, bool))
     w2, _ = t2(bits, jnp.ones(64, bool))
     # word ids are renumbered; compare PARTITIONS (same grouping of queries)
@@ -192,7 +192,7 @@ def test_orbvoc_text_roundtrip(rng, tmp_path):
 
     # identical word assignment for fresh descriptors through both trees
     q = rng.integers(0, 256, (150, 32), dtype=np.uint8)
-    bits = matcher.unpack_bits_pm1(jnp.asarray(q))
+    bits = jnp.asarray(q)
     valid = jnp.ones(150, bool)
     w1, _ = bow.make_transform_fn(voc)(bits, valid)
     w2, _ = bow.make_transform_fn(voc2)(bits, valid)
@@ -200,3 +200,52 @@ def test_orbvoc_text_roundtrip(rng, tmp_path):
     v1 = bow.bow_vector(np.asarray(w1), voc.word_weight, voc.n_words)
     v2 = bow.bow_vector(np.asarray(w2), voc2.word_weight, voc2.n_words)
     assert abs(bow.l1_score(v1, v2) - 1.0) < 1e-6
+
+
+def test_tfidf_weights(rng):
+    """TF-IDF document-frequency weighting (TemplatedVocabulary.h:943-990):
+    a word appearing in every doc gets (floored) ~0 idf; a word unique to one
+    doc gets ln(N_docs); unseen words get 0."""
+    descs = rand_desc(rng, 600)
+    # 4 docs: doc 0..2 share the first 50 descriptors; doc 3 is disjoint
+    shared = descs[:50]
+    docs = [np.concatenate([shared, descs[50 + 100 * i: 150 + 100 * i]]) for i in range(3)]
+    docs.append(descs[400:500])
+    voc = bow.train_vocabulary(descs[:500], k=6, levels=3, seed=0, docs=docs)
+    transform = bow.make_transform_fn(voc)
+    w_shared, _ = transform(jnp.asarray(shared), jnp.ones(len(shared), bool))
+    w_uniq, _ = transform(jnp.asarray(descs[400:450]), jnp.ones(50, bool))
+    w_shared = np.asarray(w_shared)
+    w_uniq = np.asarray(w_uniq)
+    ws = voc.word_weight[w_shared[w_shared >= 0]]
+    wu = voc.word_weight[w_uniq[w_uniq >= 0]]
+    # words confined to one doc carry more information than corpus-wide words
+    assert wu.mean() > ws.mean()
+    assert np.all(voc.word_weight >= 0)
+    # idf of a word present in all 4 docs would be ln(1)=0 -> floored small
+    assert ws.min() >= 1e-3 - 1e-9
+
+
+def test_synth_vocabulary_orbvoc_shape_roundtrip(tmp_path, rng):
+    """ORBvoc-structure vocabulary (k=10) at reduced depth: full k-ary tree,
+    text round-trip through the standard format preserves the transform
+    partition (the 1M-node L=6 variant is exercised on the TPU by
+    tools/bench_bow_scale.py — same code, bigger L)."""
+    voc = bow.synth_vocabulary(k=10, levels=4, seed=1)  # 11,111 nodes / 10k words
+    assert voc.n_words == 10_000
+    assert len(voc.node_desc) == 11_111
+    path = tmp_path / "voc.txt"
+    bow.dump_orbvoc_text(voc, str(path))
+    voc2 = bow.parse_orbvoc_text(str(path))
+    assert voc2.n_words == voc.n_words
+    q = rand_desc(rng, 128)
+    t1 = bow.make_transform_fn(voc)
+    t2 = bow.make_transform_fn(voc2)
+    w1, _ = t1(jnp.asarray(q), jnp.ones(128, bool))
+    w2, _ = t2(jnp.asarray(q), jnp.ones(128, bool))
+    a, b = np.asarray(w1), np.asarray(w2)
+    for i in range(0, 128, 7):
+        for j in range(i + 1, 128, 11):
+            assert (a[i] == a[j]) == (b[i] == b[j])
+    # weights survive the round-trip (leaves renumbered, multiset equal)
+    assert np.allclose(np.sort(voc.word_weight), np.sort(voc2.word_weight), rtol=1e-4)

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--features", type=int, default=1500)
     ap.add_argument("--debug-loop", action="store_true")
+    ap.add_argument("--synth-voc-levels", type=int, default=0,
+                    help="use a structure-generated k=10 ORBvoc-scale vocabulary "
+                         "of this depth instead of the corpus-trained one "
+                         "(6 = the reference's 1M-word ORBvoc shape)")
     args = ap.parse_args()
 
     seq = make_sequence(n_frames=args.frames, seed=args.seed, motion="circle", step=args.step)
@@ -41,12 +45,17 @@ def main():
     # vocabulary from a multi-frame corpus (the reference's ORBvoc is trained
     # on a large image corpus; a single-frame 512-word vocab is too weak for
     # place recognition and floods detection with false candidates)
-    ex = ORBExtractor(cfg.orb)
-    corpus = []
-    for i in range(0, min(args.frames, 40), 4):
-        fe = ex.extract(seq.images[i])
-        corpus.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
-    voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4, seed=0)
+    if args.synth_voc_levels:
+        voc = bow.synth_vocabulary(k=10, levels=args.synth_voc_levels, seed=0)
+    else:
+        ex = ORBExtractor(cfg.orb)
+        corpus = []
+        for i in range(0, min(args.frames, 40), 4):
+            fe = ex.extract(seq.images[i])
+            corpus.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
+        # per-frame docs -> TF-IDF leaf weights (TemplatedVocabulary.h:943-990)
+        voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4, seed=0,
+                                   docs=corpus)
     print(f"vocabulary: {voc.n_words} words", flush=True)
     slam = MonoSLAM(cfg, vocabulary=voc)
 
