@@ -874,14 +874,19 @@ class Tracking:
 
     def _relocalization(self) -> bool:
         """Reference Relocalization (Tracking.cc:979-1137). Candidate
-        keyframes come from the BoW database when available; the PnP RANSAC +
-        projection-widening loop mirrors the reference."""
+        keyframes come from the BoW database; RANSAC runs over ALL candidates
+        in ONE vmapped call (the TPU equivalent of the reference's
+        `iterate(5)` round-robin across solvers — no candidate goes deep
+        before every candidate has had its chance), then refinement visits
+        candidates in descending inlier order."""
         f = self.current
         if self.relocalizer is None:
             return False
         cand_ids = self.relocalizer.detect_relocalization_candidates(f)
         if not cand_ids:
             return False
+        n = f.n_kp
+        built = []  # (kf, pos, ok, ids) per viable candidate
         for kf_id in cand_ids:
             kf = self.map.keyframes.get(kf_id)
             if kf is None or kf.bad:
@@ -896,7 +901,6 @@ class Tracking:
             if vi.sum() < 15:
                 continue
             # 2D-3D sets aligned to current frame keypoints
-            n = f.n_kp
             pos = np.zeros((n, 3), np.float32)
             ok = np.zeros(n, bool)
             ids = np.full(n, -1, np.int64)
@@ -907,16 +911,34 @@ class Tracking:
                     pos[q] = mp.pos
                     ok[q] = True
                     ids[q] = mp.id
-            if ok.sum() < 15:
+            if ok.sum() >= 15:
+                built.append((kf, pos, ok, ids))
+        if not built:
+            return False
+
+        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
+
+        C = len(built)
+        Cb = bucket(C, 2)
+        pos_b = np.zeros((Cb, n, 3), np.float32)
+        ok_b = np.zeros((Cb, n), bool)
+        for ci, (_, pos, ok, _) in enumerate(built):
+            pos_b[ci] = pos
+            ok_b[ci] = ok
+        w = self.inv_sigma2[f.kp_octave].astype(np.float32)
+        res = pnp.ransac_pnp_multi(
+            self._next_key(), self.jK, jnp.asarray(pos_b),
+            jnp.asarray(np.broadcast_to(f.kp_und, (Cb, n, 2))),
+            jnp.asarray(np.broadcast_to(w, (Cb, n))), jnp.asarray(ok_b),
+        )
+        succ, Rs, ts, inls, ns = jax.device_get(
+            (res.success, res.R, res.t, res.inliers, res.n_inliers))
+        for ci in np.argsort(-ns[:C]):
+            if not succ[ci]:
                 continue
-            res = pnp.ransac_pnp(
-                self._next_key(), self.jK, jnp.asarray(pos), jnp.asarray(f.kp_und),
-                jnp.asarray(self.inv_sigma2[f.kp_octave].astype(np.float32)), jnp.asarray(ok),
-            )
-            if not bool(res.success):
-                continue
-            f.set_pose(np.asarray(res.R), np.asarray(res.t))
-            inl = np.asarray(res.inliers)
+            kf, pos, ok, ids = built[ci]
+            f.set_pose(Rs[ci], ts[ci])
+            inl = inls[ci]
             f.mp_ids[:] = -1
             f.mp_ids[inl] = ids[inl]
             n_good = self._pose_optimize(f)
@@ -926,8 +948,6 @@ class Tracking:
                 self.last_reloc_frame_id = f.id
                 return True
             # widen with projection search against this KF's map points
-            pos2 = np.zeros((n, 3), np.float32)
-            # project all of kf's map points
             cand_mp = [int(m) for m in kf.mp_ids if m >= 0 and self.map.get_mp(int(m)) is not None]
             if not cand_mp:
                 continue

@@ -140,3 +140,75 @@ def test_ransac_sim3(rng):
     inl = np.asarray(res.inliers)
     assert inl[bad].mean() < 0.15
     assert inl[~bad].mean() > 0.9
+
+
+def test_p3p_beats_dlt_at_low_inlier_ratio(rng):
+    """VERDICT r2 item #6: the reference relocalizes with EPnP minimal sets
+    of 4 (PnPsolver.cc:68-157); minimal sets of 3 (P3P) dominate the old
+    6-point DLT below ~50% inliers (good-sample probability w^3 vs w^6).
+    At 30% inliers the DLT path must fail and P3P must succeed."""
+    import jax
+
+    from ceres_mono_orb_slam2_tpu.ops import lie, pnp
+
+    N = 200
+    K = jnp.asarray(np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32))
+    pts = np.stack([rng.uniform(-5, 5, N), rng.uniform(-3, 3, N),
+                    rng.uniform(4, 12, N)], -1).astype(np.float32)
+    Rgt = np.asarray(lie.so3_exp(jnp.asarray(np.array([0.2, -0.3, 0.1], np.float32))))
+    tgt = np.array([0.4, -0.2, 0.5], np.float32)
+    Xc = pts @ Rgt.T + tgt
+    uv = np.stack([500 * Xc[:, 0] / Xc[:, 2] + 320,
+                   500 * Xc[:, 1] / Xc[:, 2] + 240], -1).astype(np.float32)
+    uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+    out_idx = rng.choice(N, int(N * 0.7), replace=False)  # 30% inliers
+    uv[out_idx] = rng.uniform([0, 0], [640, 480], (len(out_idx), 2)).astype(np.float32)
+    w = jnp.ones(N, jnp.float32)
+    valid = jnp.ones(N, bool)
+
+    def good(r):
+        if not bool(r.success):
+            return False
+        return (np.linalg.norm(np.asarray(r.R) - Rgt) < 0.05
+                and np.linalg.norm(np.asarray(r.t) - tgt) < 0.1)
+
+    n_p3p = n_dlt = 0
+    for s in range(5):
+        key = jax.random.PRNGKey(s)
+        n_p3p += good(pnp.ransac_pnp(key, K, jnp.asarray(pts), jnp.asarray(uv), w, valid, solver="p3p"))
+        n_dlt += good(pnp.ransac_pnp(key, K, jnp.asarray(pts), jnp.asarray(uv), w, valid, solver="dlt"))
+    assert n_p3p >= 4, n_p3p
+    assert n_dlt <= 1, n_dlt
+
+
+def test_ransac_pnp_multi_round_robin(rng):
+    """Batched all-candidate RANSAC (Tracking.cc:1039-1128 iterate(5)
+    equivalent): the right candidate wins by inlier count."""
+    import jax
+
+    from ceres_mono_orb_slam2_tpu.ops import lie, pnp
+
+    N, C = 120, 3
+    K = jnp.asarray(np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32))
+    pts = np.zeros((C, N, 3), np.float32)
+    uv = np.zeros((C, N, 2), np.float32)
+    valid = np.zeros((C, N), bool)
+    Rgt = np.asarray(lie.so3_exp(jnp.asarray(np.array([0.1, 0.2, -0.1], np.float32))))
+    tgt = np.array([0.2, 0.1, 0.3], np.float32)
+    for c in range(C):
+        p = np.stack([rng.uniform(-5, 5, N), rng.uniform(-3, 3, N),
+                      rng.uniform(4, 12, N)], -1).astype(np.float32)
+        Xc = p @ Rgt.T + tgt
+        u = np.stack([500 * Xc[:, 0] / Xc[:, 2] + 320,
+                      500 * Xc[:, 1] / Xc[:, 2] + 240], -1).astype(np.float32)
+        if c != 1:  # candidates 0, 2: pure junk geometry
+            u = rng.uniform([0, 0], [640, 480], (N, 2)).astype(np.float32)
+        pts[c], uv[c] = p, u
+        valid[c] = True
+    res = pnp.ransac_pnp_multi(jax.random.PRNGKey(0), K, jnp.asarray(pts),
+                               jnp.asarray(uv), jnp.ones((C, N), jnp.float32),
+                               jnp.asarray(valid))
+    ns = np.asarray(res.n_inliers)
+    assert np.argmax(ns) == 1
+    assert bool(np.asarray(res.success)[1])
+    assert np.linalg.norm(np.asarray(res.R[1]) - Rgt) < 0.05
