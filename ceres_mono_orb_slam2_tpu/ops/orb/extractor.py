@@ -167,7 +167,13 @@ class ORBExtractor:
             # output tile and cost ~28 ms/frame (the KNOWN_ISSUES #2
             # composition overhead; the same contraction runs in 0.02 ms
             # against materialized inputs).
-            blurred = kernels.gaussian_blur7(img_l)
+            # quantize the blurred image to the u8 grid BEFORE the patch
+            # gather: the reference blurs into an 8-bit Mat
+            # (ORBextractor.cc:1034) and compares integer values; it also
+            # keeps the bf16 row-gather exact (bf16 is exact for 8-bit
+            # integers but rounds fractional blur output by up to 1 ulp,
+            # which flips near-tie rBRIEF comparisons)
+            blurred = jnp.clip(jnp.floor(kernels.gaussian_blur7(img_l) + 0.5), 0.0, 255.0)
             img_lb, blurred, safe_y, safe_x = jax.lax.optimization_barrier(
                 (img_l, blurred, safe_y, safe_x))
             p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
