@@ -342,7 +342,8 @@ def _resample_texture(tex: np.ndarray, th: int, tw: int) -> np.ndarray:
 
 def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
                          background: float = 25.0, chunk: int = 8,
-                         tex_h: int = 160, tex_w: int = 512) -> np.ndarray:
+                         tex_h: int = 160, tex_w: int = 512,
+                         dist: np.ndarray = None) -> np.ndarray:
     """Device (jit) port of `_render`: the per-pixel plane-intersection ray
     tracer, vmapped over planes and batched over frames. The numpy renderer
     costs ~6 s/frame; this runs in milliseconds on an accelerator, which is
@@ -365,9 +366,22 @@ def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
     def render_batch(jorigin, jex, jey, jsize, jtex, jK, jRcw, jtcw, hh: int, ww: int):
         us, vs = jnp.meshgrid(jnp.arange(ww, dtype=jnp.float32),
                               jnp.arange(hh, dtype=jnp.float32))
-        d_cam = jnp.stack([(us - jK[0, 2]) / jK[0, 0],
-                           (vs - jK[1, 2]) / jK[1, 1],
-                           jnp.ones_like(us)], axis=-1)  # (h, w, 3)
+        if dist is not None:
+            # distorted-lens rendering: the ray through output pixel (u, v)
+            # is the one whose DISTORTED projection lands there — undistort
+            # the pixel grid through the OpenCV k1 k2 p1 p2 [k3] model
+            # (same model Frame undistorts keypoints with, Frame.cc:329-355)
+            from ceres_mono_orb_slam2_tpu.ops import camera as cam_ops
+
+            grid = jnp.stack([us.reshape(-1), vs.reshape(-1)], axis=-1)
+            und = cam_ops.undistort_points(grid, jK, jnp.asarray(dist.astype(np.float32)))
+            d_cam = jnp.stack([(und[:, 0] - jK[0, 2]) / jK[0, 0],
+                               (und[:, 1] - jK[1, 2]) / jK[1, 1],
+                               jnp.ones_like(und[:, 0])], axis=-1).reshape(hh, ww, 3)
+        else:
+            d_cam = jnp.stack([(us - jK[0, 2]) / jK[0, 0],
+                               (vs - jK[1, 2]) / jK[1, 1],
+                               jnp.ones_like(us)], axis=-1)  # (h, w, 3)
 
         def one_frame(Rcw_f, tcw_f):
             Rwc = Rcw_f.T
@@ -423,8 +437,11 @@ def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
 def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: float,
                                   motion: str = "strafe", step: float = 0.06,
                                   seed: int = 0, noise: float = 1.0,
-                                  fps: float = 30.0) -> SyntheticSequence:
-    """Same worlds/trajectories as `make_sequence`, rendered on device."""
+                                  fps: float = 30.0,
+                                  dist: np.ndarray = None) -> SyntheticSequence:
+    """Same worlds/trajectories as `make_sequence`, rendered on device.
+    `dist`: optional (4,) or (5,) OpenCV distortion coefficients — the
+    rendered images then come from a DISTORTED lens."""
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
@@ -455,7 +472,7 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
         stamps.append(k / fps)
     Rcw = np.stack(Rs)
     tcw = np.stack(ts)
-    images = render_frames_device(planes, K, Rcw, tcw, h, w)
+    images = render_frames_device(planes, K, Rcw, tcw, h, w, dist=dist)
     if noise > 0:
         images = images + rng.standard_normal(images.shape).astype(np.float32) * noise
     images = np.clip(images, 0, 255).astype(np.float32)
