@@ -14,18 +14,15 @@ from __future__ import annotations
 import logging
 from typing import List, Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.models.map import Map, KeyFrame
-from ceres_mono_orb_slam2_tpu.ops import matcher, optim, twoview
+from ceres_mono_orb_slam2_tpu.ops import matcher, optim
 from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
 
 log = logging.getLogger(__name__)
-
-
-def _skew(v):
-    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], np.float64)
 
 
 class LocalMapping:
@@ -127,110 +124,72 @@ class LocalMapping:
                     depths.append((kf.Rcw @ mp.pos + kf.tcw)[2])
         return float(np.median(depths)) if depths else -1.0
 
+    # fixed neighbor-batch size: the reference caps the covisible window at
+    # 20 (LocalMapping.cc:202); one constant shape = one compile per session
+    TRI_BATCH = 20
+
     def _create_new_map_points(self, kf: KeyFrame):
         """Reference CreateNewMapPoints (LocalMapping.cc:196-396): epipolar
-        search + triangulation against the top-20 covisible keyframes."""
+        search + triangulation against the top-20 covisible keyframes — all
+        neighbors in ONE batched device call (ops/mapping_batch) instead of
+        the reference's per-neighbor loop: on a remote TPU each dispatch+sync
+        is a ~15-30 ms round trip and the loop cost ~1.4 s/keyframe."""
+        from ceres_mono_orb_slam2_tpu.ops import mapping_batch
+
         m = self.map
-        neighbors = kf.best_covisible(20)
         O1 = kf.camera_center()
-        fx, fy = self.K[0, 0], self.K[1, 1]
-        cx, cy = self.K[0, 2], self.K[1, 2]
-        invK = np.linalg.inv(self.K)
-        ratio_factor = 1.5 * float(self.config.orb.scale_factor)
-
-        kf_bits = matcher.unpack_bits_pm1(jnp.asarray(kf.desc))
-        kf_free = jnp.asarray((kf.mp_ids < 0) & kf.kp_valid)
-
-        for nb_id in neighbors:
+        # host gates per neighbor (reference :222-234): real baseline vs
+        # median scene depth
+        nb_kfs = []
+        for nb_id in kf.best_covisible(20):
             kf2 = m.keyframes.get(nb_id)
             if kf2 is None or kf2.bad:
                 continue
-            O2 = kf2.camera_center()
-            baseline = float(np.linalg.norm(O2 - O1))
+            baseline = float(np.linalg.norm(kf2.camera_center() - O1))
             med_depth = self._median_depth(kf2)
             if med_depth <= 0 or baseline / med_depth < 0.01:
                 continue
+            nb_kfs.append(kf2)
+        if not nb_kfs:
+            return
+        nb_kfs = nb_kfs[: self.TRI_BATCH]
+        B, N = self.TRI_BATCH, len(kf.kp_und)
+        R2 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        t2 = np.zeros((B, 3), np.float32)
+        xy2 = np.zeros((B, N, 2), np.float32)
+        oct2 = np.zeros((B, N), np.int32)
+        ang2 = np.zeros((B, N), np.float32)
+        desc2 = np.zeros((B, N, 32), np.uint8)
+        free2 = np.zeros((B, N), bool)
+        nb_valid = np.zeros(B, bool)
+        for b, kf2 in enumerate(nb_kfs):
+            R2[b], t2[b] = kf2.Rcw, kf2.tcw
+            xy2[b], oct2[b], ang2[b] = kf2.kp_und, kf2.kp_octave, kf2.kp_angle
+            desc2[b] = kf2.desc
+            free2[b] = (kf2.mp_ids < 0) & kf2.kp_valid
+            nb_valid[b] = True
 
-            # F12 = K^-T [t12]x R12 K^-1 (reference ComputeF12, :490-505)
-            R1, t1 = kf.Rcw.astype(np.float64), kf.tcw.astype(np.float64)
-            R2, t2 = kf2.Rcw.astype(np.float64), kf2.tcw.astype(np.float64)
-            R12 = R1 @ R2.T
-            t12 = -R12 @ t2 + t1
-            F12 = invK.T @ _skew(t12) @ R12 @ invK
-            # epipole of camera 1 in image 2
-            C2 = R2 @ O1.astype(np.float64) + t2
-            if abs(C2[2]) < 1e-9:
-                continue
-            ep2 = np.array([fx * C2[0] / C2[2] + cx, fy * C2[1] / C2[2] + cy], np.float32)
-
-            kf2_free = jnp.asarray((kf2.mp_ids < 0) & kf2.kp_valid)
-            idx, dist, valid = matcher.search_for_triangulation(
-                jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave), jnp.asarray(kf.kp_angle),
-                kf_bits, kf_free,
-                jnp.asarray(kf2.kp_und), jnp.asarray(kf2.kp_octave), jnp.asarray(kf2.kp_angle),
-                matcher.unpack_bits_pm1(jnp.asarray(kf2.desc)), kf2_free,
-                jnp.asarray(F12.astype(np.float32)), jnp.asarray(ep2),
-                jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
-            )
-            vi = np.asarray(valid)
-            if vi.sum() == 0:
-                continue
-            i1 = np.nonzero(vi)[0]
-            i2 = np.asarray(idx)[i1]
-
-            # batched triangulation + acceptance checks (numpy; counts are small)
-            uv1 = kf.kp_und[i1].astype(np.float64)
-            uv2 = kf2.kp_und[i2].astype(np.float64)
-            xn1 = np.stack([(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy, np.ones(len(i1))], -1)
-            xn2 = np.stack([(uv2[:, 0] - cx) / fx, (uv2[:, 1] - cy) / fy, np.ones(len(i2))], -1)
-            ray1 = xn1 @ R1  # = R1^T xn (world)
-            ray2 = xn2 @ R2
-            cos_par = np.sum(ray1 * ray2, -1) / np.maximum(
-                np.linalg.norm(ray1, axis=-1) * np.linalg.norm(ray2, axis=-1), 1e-12
-            )
-            # triangulate in K-normalized coordinates (pixel-scale DLT is too
-            # ill-conditioned for the f32 eigensolve; depth bias compounds
-            # into monocular scale runaway)
-            P1 = np.concatenate([R1, t1[:, None]], 1)
-            P2 = np.concatenate([R2, t2[:, None]], 1)
-            nb = bucket(len(i1))  # pad to a shape bucket: avoids per-call recompiles
-            X = np.asarray(
-                twoview.triangulate_dlt(
-                    jnp.asarray(np.broadcast_to(P1, (nb, 3, 4)).astype(np.float32)),
-                    jnp.asarray(np.broadcast_to(P2, (nb, 3, 4)).astype(np.float32)),
-                    jnp.asarray(pad_rows(xn1[:, :2].astype(np.float32), nb)),
-                    jnp.asarray(pad_rows(xn2[:, :2].astype(np.float32), nb)),
-                )
-            ).astype(np.float64)[: len(i1)]
-            good = (cos_par > 0) & (cos_par < 0.9998)
-            z1v = (X @ R1.T + t1)[:, 2]
-            z2v = (X @ R2.T + t2)[:, 2]
-            good &= (z1v > 0) & (z2v > 0)
-
-            def reproj_chi2(R, t, uv, octs):
-                Xc = X @ R.T + t
-                u = fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-9) + cx
-                v = fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-9) + cy
-                return ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / self.level_sigma2[octs]
-
-            good &= reproj_chi2(R1, t1, uv1, kf.kp_octave[i1]) <= 5.991
-            good &= reproj_chi2(R2, t2, uv2, kf2.kp_octave[i2]) <= 5.991
-            # scale consistency (reference :356-375)
-            d1 = np.linalg.norm(X - O1.astype(np.float64), axis=-1)
-            d2 = np.linalg.norm(X - O2.astype(np.float64), axis=-1)
-            ratio_dist = d2 / np.maximum(d1, 1e-12)
-            ratio_oct = (
-                self.scale_factors[kf.kp_octave[i1]] / self.scale_factors[kf2.kp_octave[i2]]
-            )
-            good &= (ratio_dist * ratio_factor > ratio_oct) & (ratio_dist < ratio_oct * ratio_factor)
-            good &= d1 > 1e-9
-            good &= d2 > 1e-9
-
-            for k in np.nonzero(good)[0]:
-                ia, ib = int(i1[k]), int(i2[k])
+        idx, good, X = jax.device_get(mapping_batch.triangulate_with_neighbors(
+            self.jK, jnp.asarray(np.linalg.inv(self.K).astype(np.float32)),
+            jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
+            jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
+            jnp.asarray(kf.kp_angle), jnp.asarray(kf.desc),
+            jnp.asarray((kf.mp_ids < 0) & kf.kp_valid),
+            jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(xy2),
+            jnp.asarray(oct2), jnp.asarray(ang2), jnp.asarray(desc2),
+            jnp.asarray(free2), jnp.asarray(nb_valid),
+            jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
+            jnp.float32(1.5 * float(self.config.orb.scale_factor)),
+        ))
+        # host creation in neighbor order; first neighbor to triangulate a
+        # keypoint slot wins (the reference's sequential loop has the same
+        # first-wins semantics through the mp_ids guards)
+        for b, kf2 in enumerate(nb_kfs):
+            for k in np.nonzero(good[b])[0]:
+                ia, ib = int(k), int(idx[b, k])
                 if kf.mp_ids[ia] >= 0 or kf2.mp_ids[ib] >= 0:
                     continue
-                mp = m.new_map_point(X[k].astype(np.float32), kf.desc[ia], kf.id)
+                mp = m.new_map_point(X[b, k].astype(np.float32), kf.desc[ia], kf.id)
                 mp.first_kf_id = kf.id
                 m.add_observation(mp, kf, ia)
                 m.add_observation(mp, kf2, ib)
@@ -238,34 +197,45 @@ class LocalMapping:
                 m.update_normal_and_depth(mp, self.scale_factors)
                 self.recent_points.append(mp.id)
 
+    # fixed target-batch bucket for the forward fuse (20 first-order + up to
+    # 12 second-order in practice); one constant shape = one compile
+    FUSE_BATCH = 32
+
     def _search_in_neighbors(self, kf: KeyFrame):
         """Reference SearchInNeighbors (LocalMapping.cc:398-488): fuse the
-        current keyframe's points into 1st+2nd-order neighbors and back."""
+        current keyframe's points into 1st+2nd-order neighbors and back.
+        The forward direction runs as ONE batched device call over all
+        targets (ops/mapping_batch.fuse_into_targets) — the reference's
+        per-target loop cost ~2.1 s/keyframe in dispatch round trips on the
+        remote TPU. All targets match against the same map snapshot (the
+        reference's sequential loop lets earlier replacements influence later
+        targets; with per-object locks its order is scheduler-dependent
+        anyway, so snapshot semantics are within its nondeterminism)."""
         m = self.map
         targets = []
         seen = {kf.id}
         for nb in kf.best_covisible(20):
             if nb not in seen:
-                targets.append(nb)
                 seen.add(nb)
                 nkf = m.keyframes.get(nb)
-                if nkf is not None:
-                    for nb2 in nkf.best_covisible(5):
-                        if nb2 not in seen:
-                            targets.append(nb2)
-                            seen.add(nb2)
-        cur_mps = [int(mid) for mid in kf.mp_ids if mid >= 0]
-        for t_id in targets:
-            tkf = m.keyframes.get(t_id)
-            if tkf is not None and not tkf.bad:
-                self._fuse_into(tkf, cur_mps)
+                if nkf is None or nkf.bad:
+                    continue
+                targets.append(nkf)
+                for nb2 in nkf.best_covisible(5):
+                    if nb2 not in seen:
+                        seen.add(nb2)
+                        nkf2 = m.keyframes.get(nb2)
+                        if nkf2 is not None and not nkf2.bad:
+                            targets.append(nkf2)
+        targets = targets[: self.FUSE_BATCH]
+        cur_mps = [m.resolve(int(mid)) for mid in kf.mp_ids if mid >= 0]
+        cur_mps = sorted({mid for mid in cur_mps if mid >= 0})
+        if targets and cur_mps:
+            self._fuse_forward_batch(targets, cur_mps)
         # reverse fuse: all target map points into the current keyframe
         fuse_ids = []
         fs = set()
-        for t_id in targets:
-            tkf = m.keyframes.get(t_id)
-            if tkf is None:
-                continue
+        for tkf in targets:
             for mid in tkf.mp_ids:
                 if mid >= 0 and mid not in fs:
                     fuse_ids.append(int(mid))
@@ -278,6 +248,69 @@ class LocalMapping:
                 m.compute_distinctive_descriptor(mp)
                 m.update_normal_and_depth(mp, self.scale_factors)
         m.update_connections(kf)
+
+    def _fuse_forward_batch(self, targets: List[KeyFrame], mp_ids: List[int],
+                            th: float = 3.0):
+        """Forward half of SearchInNeighbors: one shared map-point block
+        projected into every target keyframe in one vmapped call; the
+        replace-vs-add merge stays host-side per target (reference
+        ORBmatcher::Fuse tail, ORBmatcher.cc:806-840)."""
+        from ceres_mono_orb_slam2_tpu.ops import mapping_batch
+
+        m = self.map
+        B, N = self.FUSE_BATCH, len(targets[0].kp_und)
+        M = len(mp_ids)
+        Mb = bucket(M)
+        pos = pad_rows(np.stack([m.map_points[mid].pos for mid in mp_ids]), Mb)
+        desc = pad_rows(np.stack([m.map_points[mid].descriptor for mid in mp_ids]), Mb)
+        mind = pad_rows(np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32), Mb)
+        maxd = pad_rows(np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32), Mb)
+        normal = pad_rows(np.stack([m.map_points[mid].normal for mid in mp_ids]), Mb)
+
+        R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        t = np.zeros((B, 3), np.float32)
+        kp_xy = np.zeros((B, N, 2), np.float32)
+        kp_oct = np.zeros((B, N), np.int32)
+        kp_desc = np.zeros((B, N, 32), np.uint8)
+        kp_valid = np.zeros((B, N), bool)
+        mvalid = np.zeros((B, Mb), bool)
+        for b, tkf in enumerate(targets):
+            R[b], t[b] = tkf.Rcw, tkf.tcw
+            kp_xy[b], kp_oct[b], kp_desc[b] = tkf.kp_und, tkf.kp_octave, tkf.desc
+            kp_valid[b] = tkf.kp_valid
+            # a point the target already observes is excluded from its fuse
+            # (reference ORBmatcher.cc:738 IsInKeyFrame check)
+            mvalid[b, :M] = [tkf.id not in m.map_points[mid].observations
+                             for mid in mp_ids]
+
+        idx, valid = jax.device_get(mapping_batch.fuse_into_targets(
+            self.jK, jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(kp_xy), jnp.asarray(kp_oct), jnp.asarray(kp_desc),
+            jnp.asarray(kp_valid),
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(mvalid),
+            jnp.float32(np.log(self.config.orb.scale_factor)), self.n_levels,
+            jnp.asarray(self.scale_factors),
+            jnp.asarray(self.inv_sigma2.astype(np.float32)), th=th,
+        ))
+        for b, tkf in enumerate(targets):
+            for q in np.nonzero(valid[b, :M])[0]:
+                mid = m.resolve(mp_ids[q])
+                mp = m.map_points.get(mid) if mid >= 0 else None
+                if mp is None or mp.bad or tkf.id in mp.observations:
+                    continue
+                kp = int(idx[b, q])
+                existing_id = m.resolve(int(tkf.mp_ids[kp]))
+                if existing_id >= 0:
+                    existing = m.map_points[existing_id]
+                    if existing.id == mp.id:
+                        continue
+                    if existing.n_obs > mp.n_obs:
+                        m.replace_map_point(mp, existing)
+                    else:
+                        m.replace_map_point(existing, mp)
+                else:
+                    m.add_observation(mp, tkf, kp)
 
     def _fuse_into(self, kf: KeyFrame, mp_ids: List[int], th: float = 3.0):
         """Reference ORBmatcher::Fuse (ORBmatcher.cc:724-842) host merge."""
