@@ -85,6 +85,7 @@ class LocalMapping:
     def _process_new_keyframe(self, kf: KeyFrame):
         """Reference ProcessNewKeyFrame (LocalMapping.cc:129-165)."""
         m = self.map
+        touched = []
         for i in np.nonzero(kf.mp_ids >= 0)[0]:
             mp = m.get_mp(int(kf.mp_ids[i]))
             if mp is None:
@@ -92,8 +93,8 @@ class LocalMapping:
                 continue
             if kf.id not in mp.observations:
                 m.add_observation(mp, kf, int(i))
-                m.update_normal_and_depth(mp, self.scale_factors)
-                m.compute_distinctive_descriptor(mp)
+                touched.append(mp.id)
+        m.refresh_points(touched, self.scale_factors)
         m.update_connections(kf)
 
     def _map_point_culling(self, kf: KeyFrame):
@@ -116,13 +117,13 @@ class LocalMapping:
         self.recent_points = survivors
 
     def _median_depth(self, kf: KeyFrame) -> float:
-        depths = []
-        for mid in kf.mp_ids:
-            if mid >= 0:
-                mp = self.map.get_mp(int(mid))
-                if mp is not None:
-                    depths.append((kf.Rcw @ mp.pos + kf.tcw)[2])
-        return float(np.median(depths)) if depths else -1.0
+        mp_table = self.map.map_points
+        pos = [mp.pos for mp in (mp_table.get(int(mid)) for mid in kf.mp_ids[kf.mp_ids >= 0])
+               if mp is not None and not mp.bad]
+        if not pos:
+            return -1.0
+        z = np.stack(pos) @ kf.Rcw[2] + kf.tcw[2]
+        return float(np.median(z))
 
     # fixed neighbor-batch size: the reference caps the covisible window at
     # 20 (LocalMapping.cc:202); one constant shape = one compile per session
@@ -184,6 +185,7 @@ class LocalMapping:
         # host creation in neighbor order; first neighbor to triangulate a
         # keypoint slot wins (the reference's sequential loop has the same
         # first-wins semantics through the mp_ids guards)
+        created = []
         for b, kf2 in enumerate(nb_kfs):
             for k in np.nonzero(good[b])[0]:
                 ia, ib = int(k), int(idx[b, k])
@@ -193,9 +195,9 @@ class LocalMapping:
                 mp.first_kf_id = kf.id
                 m.add_observation(mp, kf, ia)
                 m.add_observation(mp, kf2, ib)
-                m.compute_distinctive_descriptor(mp)
-                m.update_normal_and_depth(mp, self.scale_factors)
+                created.append(mp.id)
                 self.recent_points.append(mp.id)
+        m.refresh_points(created, self.scale_factors)
 
     # fixed target-batch bucket for the forward fuse (20 first-order + up to
     # 12 second-order in practice); one constant shape = one compile
@@ -242,11 +244,8 @@ class LocalMapping:
                     fs.add(mid)
         self._fuse_into(kf, fuse_ids)
 
-        for i in np.nonzero(kf.mp_ids >= 0)[0]:
-            mp = m.get_mp(int(kf.mp_ids[i]))
-            if mp is not None:
-                m.compute_distinctive_descriptor(mp)
-                m.update_normal_and_depth(mp, self.scale_factors)
+        m.refresh_points([int(mid) for mid in kf.mp_ids[kf.mp_ids >= 0]],
+                         self.scale_factors)
         m.update_connections(kf)
 
     def _fuse_forward_batch(self, targets: List[KeyFrame], mp_ids: List[int],
@@ -274,14 +273,16 @@ class LocalMapping:
         kp_desc = np.zeros((B, N, 32), np.uint8)
         kp_valid = np.zeros((B, N), bool)
         mvalid = np.zeros((B, Mb), bool)
+        mp_arr = np.asarray(mp_ids, np.int64)
         for b, tkf in enumerate(targets):
             R[b], t[b] = tkf.Rcw, tkf.tcw
             kp_xy[b], kp_oct[b], kp_desc[b] = tkf.kp_und, tkf.kp_octave, tkf.desc
             kp_valid[b] = tkf.kp_valid
             # a point the target already observes is excluded from its fuse
-            # (reference ORBmatcher.cc:738 IsInKeyFrame check)
-            mvalid[b, :M] = [tkf.id not in m.map_points[mid].observations
-                             for mid in mp_ids]
+            # (reference ORBmatcher.cc:738 IsInKeyFrame check); kf.mp_ids is
+            # the exact inverse of mp.observations (Map.add_observation), so
+            # one vectorized isin replaces an M-long membership loop
+            mvalid[b, :M] = ~np.isin(mp_arr, tkf.mp_ids[tkf.mp_ids >= 0])
 
         idx, valid = jax.device_get(mapping_batch.fuse_into_targets(
             self.jK, jnp.asarray(R), jnp.asarray(t),
@@ -383,15 +384,16 @@ class LocalMapping:
         local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
         local_set = set(local_ids)
 
-        mp_ids = []
-        mp_set = set()
-        for k in local_ids:
-            for mid in m.keyframes[k].mp_ids:
-                if mid >= 0 and mid not in mp_set:
-                    mp = m.get_mp(int(mid))
-                    if mp is not None:
-                        mp_ids.append(int(mid))
-                        mp_set.add(int(mid))
+        # point set = union of the local keyframes' bound ids; kf.mp_ids is
+        # the exact inverse of mp.observations (Map.add_observation invariant),
+        # so the whole window + observation arrays build with vectorized
+        # searchsorted lookups instead of per-observation Python loops
+        cat = np.concatenate([m.keyframes[k].mp_ids for k in local_ids])
+        uniq = np.unique(cat[cat >= 0])
+        mp_ids = [int(mid) for mid in uniq if m.get_mp(int(mid)) is not None]
+        if not mp_ids:
+            return
+        mp_arr = np.asarray(mp_ids, np.int64)  # ascending (np.unique order)
 
         fixed_ids = []
         fixed_set = set()
@@ -405,21 +407,29 @@ class LocalMapping:
 
         kf_ids = local_ids + fixed_ids
         kf_slot = {k: i for i, k in enumerate(kf_ids)}
-        mp_slot = {mid: i for i, mid in enumerate(mp_ids)}
 
-        obs = []
-        for mid in mp_ids:
-            mp = m.map_points[mid]
-            for ok_id, kidx in mp.observations.items():
-                if ok_id in kf_slot:
-                    okf = m.keyframes[ok_id]
-                    obs.append((kf_slot[ok_id], mp_slot[mid], kidx, okf))
-        if len(obs) < 10:
+        op_l, oj_l, uv_l, ow_l, kidx_l = [], [], [], [], []
+        for i_k, k in enumerate(kf_ids):
+            okf = m.keyframes[k]
+            kidx = np.nonzero(okf.mp_ids >= 0)[0]
+            ids = okf.mp_ids[kidx]
+            pos = np.minimum(np.searchsorted(mp_arr, ids), len(mp_arr) - 1)
+            hit = mp_arr[pos] == ids  # fixed KFs keep only window points
+            kidx = kidx[hit]
+            op_l.append(np.full(len(kidx), i_k, np.int32))
+            oj_l.append(pos[hit].astype(np.int32))
+            uv_l.append(okf.kp_und[kidx])
+            ow_l.append(self.inv_sigma2[okf.kp_octave[kidx]].astype(np.float32))
+            kidx_l.append(kidx)
+        op_all = np.concatenate(op_l)
+        oj_all = np.concatenate(oj_l)
+        n_obs = len(op_all)
+        if n_obs < 10:
             return
 
         P = bucket(len(kf_ids), 8)
         MM = bucket(len(mp_ids), 256)
-        OO = bucket(len(obs), 1024)
+        OO = bucket(n_obs, 1024)
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), np.float32)
         fixed = np.ones(P, bool)
@@ -429,20 +439,18 @@ class LocalMapping:
             fixed[i] = k in fixed_set or k == 0
         pts = np.zeros((MM, 3), np.float32)
         pvalid = np.zeros(MM, bool)
-        for mid, i in mp_slot.items():
-            pts[i] = m.map_points[mid].pos
-            pvalid[i] = True
+        pts[: len(mp_ids)] = np.stack([m.map_points[mid].pos for mid in mp_ids])
+        pvalid[: len(mp_ids)] = True
         op = np.zeros(OO, np.int32)
         oj = np.zeros(OO, np.int32)
         ouv = np.zeros((OO, 2), np.float32)
         ow = np.ones(OO, np.float32)
         ovalid = np.zeros(OO, bool)
-        for q, (pslot, jslot, kidx, okf) in enumerate(obs):
-            op[q] = pslot
-            oj[q] = jslot
-            ouv[q] = okf.kp_und[kidx]
-            ow[q] = self.inv_sigma2[okf.kp_octave[kidx]]
-            ovalid[q] = True
+        op[:n_obs] = op_all
+        oj[:n_obs] = oj_all
+        ouv[:n_obs] = np.concatenate(uv_l)
+        ow[:n_obs] = np.concatenate(ow_l)
+        ovalid[:n_obs] = True
 
         # chunked solve with cooperative cancellation: the reference aborts
         # Ceres between iterations via InterruptBA (LocalMapping.cc:118-122,
@@ -487,24 +495,25 @@ class LocalMapping:
             else:
                 self.n_ba_aborted += 1
         self.n_local_ba += 1
-        Rn, tn, ptsn = np.asarray(res.R), np.asarray(res.t), np.asarray(res.points)
-        inl = np.asarray(res.inlier_obs)
+        # ONE batched transfer: each separate np.asarray is a full tunnel
+        # round trip (~29 ms measured RTT on the remote-TPU link)
+        Rn, tn, ptsn, inl = jax.device_get((res.R, res.t, res.points, res.inlier_obs))
         for k, i in kf_slot.items():
             if not fixed[i]:
                 m.keyframes[k].Rcw = Rn[i]
                 m.keyframes[k].tcw = tn[i]
-        for mid, i in mp_slot.items():
+        for i, mid in enumerate(mp_ids):
             mp = m.map_points.get(mid)
             if mp is not None and not mp.bad:
                 mp.pos = ptsn[i]
-                m.update_normal_and_depth(mp, self.scale_factors)
+        # batched normal/depth refresh (positions moved; descriptors didn't)
+        m.refresh_points(mp_ids, self.scale_factors, descriptors=False)
         # erase outlier observations (reference CeresOptimizer.cc:573-581)
-        for q, (pslot, jslot, kidx, okf) in enumerate(obs):
-            if not inl[q]:
-                mid = mp_ids[jslot]
-                mp = m.map_points.get(mid)
-                if mp is not None and not mp.bad:
-                    m.erase_observation(mp, okf.id)
+        for q in np.nonzero(~inl[:n_obs])[0]:
+            mid = mp_ids[oj_all[q]]
+            mp = m.map_points.get(mid)
+            if mp is not None and not mp.bad:
+                m.erase_observation(mp, kf_ids[op_all[q]])
 
     # -------------------------------------------------------------- KF culling
 

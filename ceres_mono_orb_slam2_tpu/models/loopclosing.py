@@ -679,9 +679,8 @@ class LoopClosing:
             jnp.asarray(Rmp), jnp.asarray(tmp_), jnp.asarray(smp),
             jnp.asarray(evalid), jnp.asarray(fixedp),
         )
-        Rn = np.asarray(res.R)[:P]
-        tn = np.asarray(res.t)[:P]
-        sn = np.asarray(res.s)[:P]
+        Rn, tn, sn = jax.device_get((res.R, res.t, res.s))  # one round trip
+        Rn, tn, sn = Rn[:P], tn[:P], sn[:P]
         # recover SE3 (t/s) + remap map points via their reference keyframes:
         # X' = S_new^-1 (S_init (X)) with S_init the vertex INITIAL sim3
         # (reference cc:916-956)

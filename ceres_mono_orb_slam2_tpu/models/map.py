@@ -33,6 +33,11 @@ def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.bitwise_xor(a, b), axis=-1).sum(-1)
 
 
+# byte -> popcount lookup table (refresh_points uses it instead of
+# unpackbits to avoid the 8x intermediate blow-up on (P, K, K, 32) blocks)
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
+
+
 class MapPoint:
     __slots__ = (
         "id", "pos", "descriptor", "normal", "min_dist", "max_dist",
@@ -188,6 +193,13 @@ class Map:
     # ----- observations / covisibility -----------------------------------------
 
     def add_observation(self, mp: MapPoint, kf: KeyFrame, idx: int):
+        # keep kf.mp_ids and mp.observations exactly inverse: re-binding the
+        # same (mp, kf) pair to a new keypoint slot must clear the old slot
+        # (the vectorized builders in LocalMapping reconstruct observations
+        # from the kf side and rely on this invariant)
+        old = mp.observations.get(kf.id)
+        if old is not None and old != idx and kf.mp_ids[old] == mp.id:
+            kf.mp_ids[old] = -1
         mp.observations[kf.id] = idx
         kf.mp_ids[idx] = mp.id
 
@@ -389,6 +401,108 @@ class Map:
         mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
         mp.normal = (normal / n).astype(np.float32)
         self.mp_dirty.add(mp.id)
+
+    def refresh_points(self, ids, scale_factors: np.ndarray, descriptors: bool = True):
+        """Batched compute_distinctive_descriptor + update_normal_and_depth
+        over a set of map-point ids. Same semantics as the per-point
+        functions (MapPoint.cc:256-315, 335-388) but vectorized with numpy:
+        the per-point versions cost ~100-300 us each in small-array overhead,
+        which dominated LocalMapping on the single host core (profiled:
+        ~40 % of _create_new_map_points / _search_in_neighbors wall).
+
+        Points are bucketed by observation count so the (P, K, K) pairwise
+        Hamming block stays near sum(K_p^2) work."""
+        n_levels = len(scale_factors)
+        sf_last = float(scale_factors[n_levels - 1])
+        centers: Dict[int, np.ndarray] = {}
+
+        def center_of(kf: KeyFrame) -> np.ndarray:
+            c = centers.get(kf.id)
+            if c is None:
+                c = kf.camera_center()
+                centers[kf.id] = c
+            return c
+
+        entries = []  # (mp, [(kf, kp_idx), ...] in observation insertion order)
+        for mid in ids:
+            mp = self.map_points.get(int(mid))
+            if mp is None or mp.bad or not mp.observations:
+                continue
+            obs = []
+            for kf_id, idx in mp.observations.items():
+                kf = self.keyframes.get(kf_id)
+                if kf is not None and not kf.bad:
+                    obs.append((kf, idx))
+            if obs:
+                entries.append((mp, obs))
+        if not entries:
+            return
+
+        buckets: Dict[int, list] = {}
+        for e in entries:
+            c = len(e[1])
+            k = 1 << max(1, (c - 1).bit_length())
+            buckets.setdefault(k, []).append(e)
+
+        for K, ents in buckets.items():
+            P = len(ents)
+            desc = np.zeros((P, K, 32), np.uint8)
+            ctr = np.zeros((P, K, 3), np.float64)
+            cnt = np.array([len(o) for _, o in ents], np.int64)
+            pos = np.stack([mp.pos for mp, _ in ents]).astype(np.float64)
+            # group the fills by keyframe: one fancy-index per keyframe
+            by_kf: Dict[int, list] = {}
+            kf_obj: Dict[int, KeyFrame] = {}
+            for p, (mp, obs) in enumerate(ents):
+                for s, (kf, idx) in enumerate(obs):
+                    by_kf.setdefault(kf.id, []).append((p, s, idx))
+                    kf_obj[kf.id] = kf
+            for kf_id, rows in by_kf.items():
+                kf = kf_obj[kf_id]
+                pr = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+                sr = np.fromiter((r[1] for r in rows), np.int64, len(rows))
+                ir = np.fromiter((r[2] for r in rows), np.int64, len(rows))
+                if descriptors:
+                    desc[pr, sr] = kf.desc[ir]
+                ctr[pr, sr] = center_of(kf)
+
+            col_valid = np.arange(K)[None, :] < cnt[:, None]
+            if descriptors:
+                # pairwise Hamming + per-row median over the valid prefix
+                x = desc[:, :, None, :] ^ desc[:, None, :, :]
+                dist = _POPCNT[x].sum(-1, dtype=np.int32)  # (P, K, K)
+                dist = np.where(col_valid[:, None, :], dist, 1 << 20)
+                dist.sort(axis=2)
+                lo = np.take_along_axis(dist, ((cnt - 1) // 2)[:, None, None], axis=2)[..., 0]
+                hi = np.take_along_axis(dist, (cnt // 2)[:, None, None], axis=2)[..., 0]
+                med = 0.5 * (lo + hi)  # == np.median over the cnt-long prefix
+                med = np.where(col_valid, med, np.inf)
+                best = np.argmin(med, axis=1)
+
+            # viewing normal: mean of unit rays over valid observations
+            v = pos[:, None, :] - ctr
+            nv = np.linalg.norm(v, axis=2)
+            ok = col_valid & (nv > 1e-9)
+            unit = np.where(ok[..., None], v / np.maximum(nv, 1e-12)[..., None], 0.0)
+            nsum = unit.sum(axis=1)
+            nobs = ok.sum(axis=1)
+
+            for p, (mp, obs) in enumerate(ents):
+                if descriptors:
+                    mp.descriptor = desc[p, best[p]].copy()
+                if nobs[p] > 0:
+                    ref = self.keyframes.get(mp.ref_kf_id)
+                    if ref is None or ref.bad:
+                        mp.ref_kf_id = next(iter(mp.observations))
+                        ref = self.keyframes.get(mp.ref_kf_id)
+                    if ref is not None:
+                        d = float(np.linalg.norm(mp.pos - center_of(ref)))
+                        idx = mp.observations.get(ref.id)
+                        level = int(ref.kp_octave[idx]) if idx is not None else 0
+                        mp.max_dist = d * float(scale_factors[level])
+                        mp.min_dist = mp.max_dist / sf_last
+                        mp.normal = (nsum[p] / nobs[p]).astype(np.float32)
+                self.mp_dirty.add(mp.id)
 
     # ----- misc ------------------------------------------------------------------
 
