@@ -45,3 +45,24 @@ if not _os.environ.get("CERES_TPU_NO_COMPILE_CACHE"):
         pass
 
 from ceres_mono_orb_slam2_tpu.utils.config import SlamConfig, load_config  # noqa: F401
+
+# Lazy top-level exports (PEP 562): the System facade pulls in the whole
+# model stack (~1 s of imports + jit registrations), so `import
+# ceres_mono_orb_slam2_tpu` stays light for config-only users while
+# `slam.MonoSLAM(...)` works like the reference's `ORB_SLAM2::System`.
+_LAZY = {
+    "MonoSLAM": ("ceres_mono_orb_slam2_tpu.models.system", "MonoSLAM"),
+    "Map": ("ceres_mono_orb_slam2_tpu.models.map", "Map"),
+    "Tracking": ("ceres_mono_orb_slam2_tpu.models.tracking", "Tracking"),
+}
+
+
+def __getattr__(name):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    value = getattr(importlib.import_module(target[0]), target[1])
+    globals()[name] = value
+    return value

@@ -34,18 +34,27 @@ def compute_image_bounds(cam, h: int, w: int) -> np.ndarray:
 
 
 class Frame:
+    # host-side keypoint arrays, materialized together in ONE device_get on
+    # first access (a lazy frame that is never promoted to a keyframe and
+    # never hits a fallback path pays zero host transfer for these)
+    _HOST_FIELDS = ("kp_xy", "kp_octave", "kp_angle", "kp_response",
+                    "desc", "kp_valid", "kp_und")
+
     def __init__(self, feats, cam, timestamp: float, frame_id=None,
-                 host=None, j_und=None):
+                 host=None, j_und=None, lazy=False):
         """feats: FrameFeatures for ONE frame (leading batch dim stripped).
 
         `host`, when given, is the pre-transferred tuple
         (kp_xy, kp_octave, kp_angle, kp_response, desc, kp_valid, kp_und) —
-        the fused tracking path batches these into its single device_get, so
-        the constructor must not issue another transfer. `j_und` likewise
-        passes the device-side undistorted coordinates computed in the fused
-        step. Derived device arrays (`j_und` without distortion work, `j_bits`)
-        are lazy: each is one device dispatch, only paid by the code paths
-        that actually use them (fallback matchers)."""
+        callers that already hold the host copies pass them so the
+        constructor must not issue another transfer. With `lazy=True` the
+        host copies are NOT fetched up front: the first access to any host
+        field triggers one batched device_get. The fused tracking path uses
+        this so ordinary frames transfer only the small control outputs
+        (~60 KB) — the full keypoint payload (~140 KB, ~30 ms of tunnel RTT
+        + bandwidth) is paid only when the frame becomes a keyframe or a
+        fallback path needs it. Derived device arrays (`j_und` without
+        distortion work, `j_bits`) are lazy likewise."""
         import jax
 
         self.id = next(_frame_counter) if frame_id is None else frame_id
@@ -57,27 +66,40 @@ class Frame:
         self.j_angle = feats.angle
         self.j_valid = feats.valid
         self.j_desc = feats.desc
+        self._j_response = feats.response
         self._j_und = j_und
         self._j_bits = None
+        self._host_pending = False
 
         if host is not None:
-            (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
-             self.desc, self.kp_valid, self.kp_und) = host
+            (self._kp_xy, self._kp_octave, self._kp_angle, self._kp_response,
+             self._desc, self._kp_valid, self._kp_und) = host
+        elif lazy:
+            self._host_pending = True
         else:
             # ONE batched transfer — per-field np.asarray calls are separate
             # device->host round-trips, which dominate per-frame wall time on
             # a remote-TPU tunnel
-            (self.kp_xy, self.kp_octave, self.kp_angle, self.kp_response,
-             self.desc, self.kp_valid, self.kp_und) = jax.device_get(
+            (self._kp_xy, self._kp_octave, self._kp_angle, self._kp_response,
+             self._desc, self._kp_valid, self._kp_und) = jax.device_get(
                 (feats.xy, feats.octave, feats.angle, feats.response,
                  feats.desc, feats.valid, self.j_und))
 
-        n = len(self.kp_xy)
+        n = int(feats.xy.shape[0])
         self.mp_ids = np.full(n, -1, np.int64)
         self.outlier = np.zeros(n, bool)
         self.Rcw = np.eye(3, dtype=np.float32)
         self.tcw = np.zeros(3, np.float32)
         self.pose_set = False
+
+    def _materialize_host(self):
+        import jax
+
+        (self._kp_xy, self._kp_octave, self._kp_angle, self._kp_response,
+         self._desc, self._kp_valid, self._kp_und) = jax.device_get(
+            (self.j_xy, self.j_octave, self.j_angle, self._j_response,
+             self.j_desc, self.j_valid, self.j_und))
+        self._host_pending = False
 
     @property
     def j_und(self):
@@ -98,7 +120,7 @@ class Frame:
 
     @property
     def n_kp(self):
-        return len(self.kp_xy)
+        return len(self.mp_ids)
 
     def set_pose(self, Rcw, tcw):
         R = np.asarray(Rcw, np.float64).reshape(3, 3)
@@ -114,3 +136,21 @@ class Frame:
 
     def camera_center(self) -> np.ndarray:
         return (-self.Rcw.T @ self.tcw).astype(np.float32)
+
+
+def _host_field_property(name: str) -> property:
+    priv = "_" + name
+
+    def get(self):
+        if self._host_pending:
+            self._materialize_host()
+        return getattr(self, priv)
+
+    def set_(self, value):  # map-load path overwrites fields directly
+        setattr(self, priv, value)
+
+    return property(get, set_)
+
+
+for _name in Frame._HOST_FIELDS:
+    setattr(Frame, _name, _host_field_property(_name))

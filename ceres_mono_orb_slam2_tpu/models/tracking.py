@@ -82,6 +82,7 @@ class Tracking:
         self.fused_enabled = bool(getattr(config, "fused_tracking", True))
         self._pool = None
         self._fused_step = None
+        self._frontend = None
         self.n_fused_frames = 0
 
     # ------------------------------------------------------------------ utils
@@ -138,6 +139,38 @@ class Tracking:
 
             self._pool = DeviceMapPool(self.map)
         return self._pool
+
+    def _ensure_frontend(self, h: int, w: int):
+        """ONE jitted device program for the whole per-frame hot path:
+        extract + pool gather + fused match/solve. Separate dispatches cost
+        ~13 ms of host-side call overhead per frame (measured); XLA inlines
+        the three jitted callees into a single executable."""
+        if self._frontend is None:
+            from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
+            from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
+
+            if self._fused_step is None:
+                self._fused_step = build_fused_step(self.config)
+            if not hasattr(self.extractor, "_extract_jit"):
+                return None  # non-image frontends (GeoExtractor) have no jit
+            extract_jit = self.extractor._extract_jit(h, w)
+            step = self._fused_step
+
+            @jax.jit
+            def frontend(image, last_oct, last_angle, last_desc,
+                         last_pos, last_ok, last_local_row, R_pred, t_pred,
+                         pool_dev, slots_padded, bounds, th_local):
+                feats = extract_jit(image[None])
+                f1 = jax.tree_util.tree_map(lambda a: a[0], feats)
+                lblock = _pool_gather(*pool_dev, slots_padded)
+                out = step(f1.xy, f1.octave, f1.angle, f1.desc, f1.valid,
+                           last_oct, last_angle, last_desc,
+                           last_pos, last_ok, last_local_row, R_pred, t_pred,
+                           *lblock, bounds, th_local)
+                return out, f1
+
+            self._frontend = frontend
+        return self._frontend
 
     def _local_block(self, frame: Frame):
         """Local-map candidate block for the fused step, derived from the
@@ -217,40 +250,45 @@ class Tracking:
             slots = slots[:L]
         slots_padded = np.full(L, pool.cap, np.int32)
         slots_padded[: len(slots)] = slots
-        lblock = pool.gather(slots_padded)
         row_of = pool.row_map(slots)
         ls = pool.slots_for_ids(lf.mp_ids)
         last_local_row = np.where(ls >= 0, row_of[np.maximum(ls, 0)], -1).astype(np.int32)
 
-        feats = self.extractor.extract(image)
-        feats = jax.tree_util.tree_map(lambda a: a[0], feats)
-
-        if self._fused_step is None:
-            from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
-
-            self._fused_step = build_fused_step(self.config)
-
         # wider search right after a relocalization (reference Tracking.cc:808)
         th_local = np.float32(5.0 if lf.id + 1 < self.last_reloc_frame_id + 2 else 1.0)
-        out = self._fused_step(
-            feats.xy, feats.octave, feats.angle, feats.desc, feats.valid,
-            lf.j_octave, lf.j_angle, lf.j_desc,
-            jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
-            jnp.asarray(R_pred), jnp.asarray(t_pred),
-            *lblock, self.j_bounds, th_local,
-        )
-        # the ONE device->host transfer of the frame
-        (R2, t2, und, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
-         assoc, inl2, ninl2, h_xy, h_resp, h_angle, h_oct, h_valid, h_desc) = jax.device_get((
-            out.R, out.t, out.und, out.m1_idx, out.m1_valid, out.inl1,
-            out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
-            out.visible, out.assoc, out.inl2, out.n2_inliers,
-            feats.xy, feats.response, feats.angle, feats.octave,
-            feats.valid, feats.desc))
+        frontend = self._ensure_frontend(image.shape[-2], image.shape[-1])
+        if frontend is not None:
+            out, feats = frontend(
+                jnp.asarray(image), lf.j_octave, lf.j_angle, lf.j_desc,
+                jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                pool.dev, jnp.asarray(slots_padded), self.j_bounds, th_local,
+            )
+        else:  # non-jittable frontend: separate extract + gather dispatches
+            from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
 
-        f = Frame(feats, self.cam, timestamp,
-                  host=(h_xy, h_oct, h_angle, h_resp, h_desc, h_valid, und),
-                  j_und=out.und)
+            feats = self.extractor.extract(image)
+            feats = jax.tree_util.tree_map(lambda a: a[0], feats)
+            lblock = _pool_gather(*pool.dev, jnp.asarray(slots_padded))
+            out = self._fused_step(
+                feats.xy, feats.octave, feats.angle, feats.desc, feats.valid,
+                lf.j_octave, lf.j_angle, lf.j_desc,
+                jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                *lblock, self.j_bounds, th_local,
+            )
+        # the ONE device->host transfer of the frame: control outputs only
+        # (~60 KB). The full keypoint payload stays on device — Frame is
+        # lazy and fetches it in one batched get only if this frame becomes
+        # a keyframe or a fallback path touches it (tunnel RTT is ~29 ms,
+        # ~140 KB of extra payload another ~10 ms; most frames skip both).
+        (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
+         assoc, inl2, ninl2, h_valid) = jax.device_get((
+            out.R, out.t, out.m1_idx, out.m1_valid, out.inl1,
+            out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
+            out.visible, out.assoc, out.inl2, out.n2_inliers, feats.valid))
+
+        f = Frame(feats, self.cam, timestamp, lazy=True, j_und=out.und)
         self.current = f
         self._stat = {"frame_id": f.id, "timestamp": f.timestamp,
                       "n_kp": int(h_valid.sum()), "method": "fused",
@@ -262,6 +300,15 @@ class Tracking:
             # motion-model failure: legacy TrackReferenceKeyFrame fallback
             self._stat["method"] = "refkf"
             ok = self._track_reference_keyframe()
+            if not ok:
+                # same-frame relocalization rescue. The reference declares
+                # LOST and relocalizes on the NEXT frame (Tracking.cc:334-341,
+                # 264-268); trying BoW relocalization immediately saves that
+                # frame whenever the database can still place us (e.g. the
+                # reference keyframe was culled under aggressive map pruning
+                # while the map itself is fine).
+                self._stat["method"] = "reloc"
+                ok = self._relocalization()
             self._stat["inliers_frame"] = self.matches_inliers if ok else 0
             if ok:
                 ok = self._track_local_map()
@@ -364,6 +411,11 @@ class Tracking:
             if not ok:
                 ok = self._track_reference_keyframe()
                 self._stat["method"] = "refkf"
+            if not ok:
+                # same-frame relocalization rescue (see _track_fused): the
+                # reference waits for the next frame in LOST state
+                ok = self._relocalization()
+                self._stat["method"] = "reloc"
         else:  # LOST
             ok = self._relocalization()
             self._stat["method"] = "reloc"
