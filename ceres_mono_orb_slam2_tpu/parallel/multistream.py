@@ -88,9 +88,10 @@ def make_multistream_step(config, h: int, w: int):
         feats = extract(images)  # batched over streams already
         packed = (feats.xy, feats.octave, feats.angle, feats.desc, feats.valid)
         if images.shape[0] == 1:
-            # single stream: skip vmap so the pose solver's convergence
-            # early-exit (a lax.cond) actually branches — under vmap it
-            # lowers to select and every LM iteration always executes
+            # single stream: skip the (trivial) vmap wrapper. The pose
+            # solver's LM loop is a lax.while_loop, so batched streams ALSO
+            # early-exit (at the slowest stream's convergence); this branch
+            # just keeps the single-stream trace free of batching machinery
             args = jax.tree_util.tree_map(
                 lambda a: a[0],
                 (packed, state.Rcw, state.tcw, state.map_pos, state.map_normal,
