@@ -219,12 +219,13 @@ class Tracking:
             slots = slots[:cap]
         return local_kfs, slots
 
-    def _grab_fused(self, image: np.ndarray, timestamp: float):
-        """The production per-frame hot path: ONE fused device call (see
-        models/fused_track) + ONE batched device_get, then host bookkeeping.
-        Reference behavior covered: TrackWithMotionModel + TrackLocalMap
-        (Tracking.cc:617-671, 673-715); falls back to the legacy
-        TrackReferenceKeyFrame path when the motion-model gates fail."""
+    def _fused_prepare(self, image: np.ndarray, timestamp: float):
+        """Host phase 1 of the fused per-frame path: motion prediction, pool
+        delta sync, local-block selection. Returns (args, aux) — `args` is
+        the positional input tuple of the jitted frontend, `aux` the host
+        context `_fused_consume` needs. Split out so a multi-stream driver
+        (parallel/multisystem.py) can prepare S streams, run ONE batched
+        device call, and consume each stream; call under map.update_lock."""
         import time
 
         t0 = time.perf_counter()
@@ -256,37 +257,76 @@ class Tracking:
 
         # wider search right after a relocalization (reference Tracking.cc:808)
         th_local = np.float32(5.0 if lf.id + 1 < self.last_reloc_frame_id + 2 else 1.0)
+        # host leaves stay numpy: the multi-stream driver stacks them across
+        # streams into ONE host->device transfer (every separate jnp.asarray
+        # is its own RPC through the remote-TPU tunnel); the single-stream
+        # path converts in _fused_finish
+        args = (image, lf.j_octave, lf.j_angle, lf.j_desc,
+                last_pos, last_ok, last_local_row,
+                R_pred, t_pred,
+                pool.dev, slots_padded, self.j_bounds, th_local)
+        aux = (t0, lf, pool, local_kfs, slots, slots_padded, timestamp)
+        return args, aux
+
+    @staticmethod
+    def _fused_control_outputs(out, feats):
+        """Device arrays a frame's single control device_get fetches (~60 KB).
+        The full keypoint payload stays on device — Frame is lazy and fetches
+        it in one batched get only if this frame becomes a keyframe or a
+        fallback path touches it (tunnel RTT is ~29 ms, ~140 KB of extra
+        payload another ~10 ms; most frames skip both)."""
+        return (out.R, out.t, out.m1_idx, out.m1_valid, out.inl1,
+                out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
+                out.visible, out.assoc, out.inl2, out.n2_inliers, feats.valid)
+
+    def _grab_fused(self, image: np.ndarray, timestamp: float):
+        """The production per-frame hot path: ONE fused device call (see
+        models/fused_track) + ONE batched device_get, then host bookkeeping.
+        Reference behavior covered: TrackWithMotionModel + TrackLocalMap
+        (Tracking.cc:617-671, 673-715); falls back to the legacy
+        TrackReferenceKeyFrame path when the motion-model gates fail."""
+        args, aux = self._fused_prepare(image, timestamp)
+        self._fused_finish(args, aux)
+
+    def _fused_finish(self, args, aux):
+        """Single-stream phase 2+3: one frontend device call, one control
+        device_get, host bookkeeping."""
+        (image, last_oct, last_angle, last_desc, last_pos, last_ok,
+         last_local_row, R_pred, t_pred, pool_dev, slots_padded, bounds,
+         th_local) = args
         frontend = self._ensure_frontend(image.shape[-2], image.shape[-1])
         if frontend is not None:
             out, feats = frontend(
-                jnp.asarray(image), lf.j_octave, lf.j_angle, lf.j_desc,
-                jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
+                jnp.asarray(image), last_oct, last_angle, last_desc,
+                jnp.asarray(last_pos), jnp.asarray(last_ok),
+                jnp.asarray(last_local_row),
                 jnp.asarray(R_pred), jnp.asarray(t_pred),
-                pool.dev, jnp.asarray(slots_padded), self.j_bounds, th_local,
+                pool_dev, jnp.asarray(slots_padded), bounds, th_local,
             )
         else:  # non-jittable frontend: separate extract + gather dispatches
             from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
 
             feats = self.extractor.extract(image)
             feats = jax.tree_util.tree_map(lambda a: a[0], feats)
-            lblock = _pool_gather(*pool.dev, jnp.asarray(slots_padded))
+            lblock = _pool_gather(*pool_dev, jnp.asarray(slots_padded))
             out = self._fused_step(
                 feats.xy, feats.octave, feats.angle, feats.desc, feats.valid,
-                lf.j_octave, lf.j_angle, lf.j_desc,
-                jnp.asarray(last_pos), jnp.asarray(last_ok), jnp.asarray(last_local_row),
+                last_oct, last_angle, last_desc,
+                jnp.asarray(last_pos), jnp.asarray(last_ok),
+                jnp.asarray(last_local_row),
                 jnp.asarray(R_pred), jnp.asarray(t_pred),
-                *lblock, self.j_bounds, th_local,
+                *lblock, bounds, th_local,
             )
-        # the ONE device->host transfer of the frame: control outputs only
-        # (~60 KB). The full keypoint payload stays on device — Frame is
-        # lazy and fetches it in one batched get only if this frame becomes
-        # a keyframe or a fallback path touches it (tunnel RTT is ~29 ms,
-        # ~140 KB of extra payload another ~10 ms; most frames skip both).
+        host = jax.device_get(self._fused_control_outputs(out, feats))
+        self._fused_consume(aux, out, feats, host)
+
+    def _fused_consume(self, aux, out, feats, host):
+        """Host phase 2 of the fused path: association bookkeeping, stats,
+        fallbacks, keyframe decision. `host` is the fetched tuple of
+        _fused_control_outputs. Call under map.update_lock."""
+        (t0, lf, pool, local_kfs, slots, slots_padded, timestamp) = aux
         (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
-         assoc, inl2, ninl2, h_valid) = jax.device_get((
-            out.R, out.t, out.m1_idx, out.m1_valid, out.inl1,
-            out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
-            out.visible, out.assoc, out.inl2, out.n2_inliers, feats.valid))
+         assoc, inl2, ninl2, h_valid) = host
 
         f = Frame(feats, self.cam, timestamp, lazy=True, j_und=out.und)
         self.current = f
