@@ -82,10 +82,69 @@ def bench_local_ba(iters: int = 20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def bench_full_system(n_frames: int = 150, n_streams: int = 1, skip: int = 10):
+    """Wall-clock fps of the REAL production System (MonoSLAM / the
+    integrated MultiStreamSLAM) over a rendered moving-camera sequence —
+    extraction, fused tracking, keyframe decisions, local mapping, local BA,
+    culling, everything. This is the reference's own headline measurement
+    (main.cc:85-118 times the full pipeline). The first `skip` frames are
+    excluded (jit compile + two-view initialization warmup).
+
+    Falls back to a 60-frame sequence when the 150-frame render is not on
+    disk (fresh ray-tracing costs ~2.5 s/frame on this host)."""
+    import os
+    import time as _time
+
+    from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+    from ceres_mono_orb_slam2_tpu.parallel.multisystem import MultiStreamSLAM
+    from ceres_mono_orb_slam2_tpu.utils.config import (
+        CameraConfig, ORBConfig, SlamConfig, StaticShapes)
+    from ceres_mono_orb_slam2_tpu.utils.synthetic import make_sequence
+
+    cache_dir = os.environ.get("SEQ_CACHE_DIR", "/tmp/seq_cache")
+    key150 = f"v1_{n_frames}_480_640_500.0_500.0_strafe_0.06_11_1.0_30.0"
+    if not os.path.exists(os.path.join(cache_dir, key150 + ".npz")):
+        n_frames = min(n_frames, 60)
+    seq = make_sequence(n_frames=n_frames, motion="strafe", step=0.06, seed=11)
+
+    # BASELINE.md round-2 full-system config (comparability with the
+    # 0.48 s/frame wall measurement)
+    config = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        orb=ORBConfig(n_features=1500),
+        shapes=StaticShapes(max_local_points=2048, max_local_keyframes=12,
+                            max_ba_points=1024, max_ba_obs=4096),
+    )
+    if n_streams == 1:
+        slam = MonoSLAM(config)
+        t_after_skip = None
+        for k in range(seq.n_frames):
+            if k == skip:
+                t_after_skip = _time.perf_counter()
+            slam.track_monocular(seq.images[k], seq.timestamps[k])
+        dt = _time.perf_counter() - t_after_skip
+        n_kf = slam.map.n_keyframes()
+        slam.shutdown()
+        return (seq.n_frames - skip) / dt, n_kf
+    ms = MultiStreamSLAM(config, n_streams=n_streams)
+    t_after_skip = None
+    for k in range(seq.n_frames):
+        if k == skip:
+            t_after_skip = _time.perf_counter()
+        ms.track_batch([seq.images[k]] * n_streams,
+                       [seq.timestamps[k]] * n_streams)
+    dt = _time.perf_counter() - t_after_skip
+    n_kf = ms.streams[0].map.n_keyframes()
+    ms.shutdown()
+    return n_streams * (seq.n_frames - skip) / dt, n_kf
+
+
 def main():
     fps1 = bench(1)
     fps8 = bench(8, iters=10)
     ba_ms = bench_local_ba()
+    sys_fps, _ = bench_full_system(n_streams=1)
+    sys_fps8, _ = bench_full_system(n_streams=8)
     result = {
         "metric": "kitti_res_tracking_step_fps_1stream",
         "value": round(fps1, 2),
@@ -93,6 +152,9 @@ def main():
         "vs_baseline": round(fps1 / 15.0, 2),
         "extra": {
             "fps_8_concurrent_streams_aggregate": round(fps8, 2),
+            "full_system_fps": round(sys_fps, 2),
+            "full_system_fps_8stream_aggregate": round(sys_fps8, 2),
+            "full_system_shape": "real MonoSLAM / MultiStreamSLAM over a rendered 480x640 sequence, 1500 features; wall time incl. mapping+BA, first 10 frames (compile+init) excluded",
             "local_ba_ms_per_solve": round(ba_ms, 2),
             "local_ba_shape": "16 KFs (12 free), 2048 pts, 8192 obs, 5 Huber + 10 trimmed iters",
             "baseline": "KITTI real-time pacing 15 fps (configs/KITTI00-02.yaml); reference publishes no throughput numbers",
