@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, help="run on N synthetic frames instead of --images")
     ap.add_argument("--localization", action="store_true", help="localization-only mode")
     ap.add_argument("--viewer", action="store_true", help="save periodic map snapshots")
+    ap.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
+                    help="serve the interactive map/frame viewer with the "
+                         "Pangolin-menu controls on this HTTP port (0 = ephemeral)")
     ap.add_argument("--threaded", action="store_true",
                     help="run mapping/loop-closing on a worker thread (reference architecture)")
     ap.add_argument("--stats-out", help="write per-frame structured stats as JSONL")
@@ -90,7 +93,7 @@ def main(argv=None):
         vocabulary = parse_orbvoc_text(args.voc)
 
     slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer,
-                    threaded=args.threaded)
+                    threaded=args.threaded, live_viewer_port=args.live_viewer)
     if args.localization:
         slam.activate_localization_mode()
 

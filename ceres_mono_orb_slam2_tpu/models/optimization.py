@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
-import numpy as np
+import os
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ceres_mono_orb_slam2_tpu.ops import optim
 from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
@@ -65,8 +68,10 @@ def run_global_ba(m, config, loop_kf_id: int, n_iters: int = 50,
     jov, jfix, jpv = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
     # beyond ~2M pose-point block pairs the dense Schur cross tensor
     # (M, P, 6, 3) stops fitting comfortably; switch to the matrix-free
-    # CG solver which is O(P + M + O) in memory at any map size
-    use_cg = Pb * Mb > (1 << 21)
+    # CG solver which is O(P + M + O) in memory at any map size.
+    # CERES_TPU_GBA_CG=1 forces the CG path at any size (endurance/validation
+    # runs exercise the production-scale solver on mid-size maps).
+    use_cg = Pb * Mb > (1 << 21) or os.environ.get("CERES_TPU_GBA_CG") == "1"
     done = 0
     while done < n_iters:
         it = min(chunk, n_iters - done)
@@ -85,7 +90,8 @@ def run_global_ba(m, config, loop_kf_id: int, n_iters: int = 50,
         if stop_cb is not None and stop_cb():
             return False  # aborted: discard (reference :658 'return' path)
 
-    Rn, tn, ptsn = np.asarray(jR), np.asarray(jt), np.asarray(jpts)
+    # ONE batched device->host transfer (tunnel RTT ~29 ms per call)
+    Rn, tn, ptsn = jax.device_get((jR, jt, jpts))
     with m.update_lock:
         # side fields for keyframes that were in the snapshot
         for kf_id, i in kf_slot.items():

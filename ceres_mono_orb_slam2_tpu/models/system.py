@@ -34,7 +34,8 @@ log = logging.getLogger(__name__)
 class MonoSLAM:
     """Python equivalent of the reference MonoORBSlam facade."""
 
-    def __init__(self, config, vocabulary=None, use_viewer: bool = False, threaded: bool = False):
+    def __init__(self, config, vocabulary=None, use_viewer: bool = False, threaded: bool = False,
+                 live_viewer_port: Optional[int] = None):
         self.config = config
         self.map = Map()
         self.extractor = ORBExtractor(config.orb)
@@ -68,6 +69,14 @@ class MonoSLAM:
             from ceres_mono_orb_slam2_tpu.viewer import Viewer
 
             self.viewer = Viewer(config, self.map, self.tracker)
+        # interactive HTTP viewer with the Pangolin menu semantics
+        # (reference Viewer.cc:70-190); port 0 = ephemeral
+        self.live_viewer = None
+        if live_viewer_port is not None:
+            from ceres_mono_orb_slam2_tpu.live_viewer import LiveViewer
+
+            self.live_viewer = LiveViewer(self, port=live_viewer_port).start()
+            log.info("live viewer at http://127.0.0.1:%d/", self.live_viewer.port)
 
     # --------------------------------------------------------------- pipeline
 
@@ -114,6 +123,8 @@ class MonoSLAM:
 
     def shutdown(self):
         self._shutdown = True
+        if self.live_viewer is not None:
+            self.live_viewer.shutdown()
         if self._worker is not None:
             self._worker.join(timeout=2.0)
         if not self.threaded:
