@@ -80,7 +80,20 @@ def _select_level_keypoints(score, n_keep: int, ini_th: float, min_th: float):
     keep = (cells > ini_th) | ((cell_max <= ini_th) & (cells > min_th))
     cells = jnp.where(keep, cells, 0.0)
 
-    vals, idx = jax.lax.top_k(cells, TOP_PER_CELL)  # (B, nc, m) sorted desc
+    # Top-m per cell by m rounds of (argmax, mask): lax.top_k lowers to a
+    # full variadic sort of the 1024-wide cell axis (~7-11 ms of the batched
+    # extractor at B=8); 8 masked argmax passes are pure VPU and order ties
+    # by first index exactly like the stable sort.
+    vals_l, idx_l = [], []
+    work = cells
+    lane = jax.lax.broadcasted_iota(jnp.int32, cells.shape, cells.ndim - 1)
+    for _ in range(TOP_PER_CELL):
+        i = jnp.argmax(work, axis=-1)  # (B, nc), first max wins ties
+        vals_l.append(jnp.max(work, axis=-1))
+        idx_l.append(i.astype(jnp.int32))
+        work = jnp.where(lane == i[..., None], -1.0, work)
+    vals = jnp.stack(vals_l, axis=-1)  # (B, nc, m) descending
+    idx = jnp.stack(idx_l, axis=-1)
     cell_ids = jnp.arange(ncy * ncx, dtype=jnp.int32)
     cy = (cell_ids // ncx)[None, :, None]
     cx = (cell_ids % ncx)[None, :, None]
@@ -145,7 +158,14 @@ class ORBExtractor:
             ONCE over all levels' concatenated patches (per-level matmul
             launches do not amortize their padding/fusion overheads)."""
             B, Hl, Wl = img_l.shape
-            score = kernels.nms3(kernels.fast_score_map(img_l))
+            # Fused Pallas FAST+NMS on TPU (the composed XLA version's
+            # (16/24, B, H, W) HBM intermediates were the largest cost of the
+            # batched extractor); identical scores on interior pixels, and the
+            # EDGE mask below discards the border where they differ.
+            if jax.default_backend() == "tpu":
+                score = kernels.fast_nms_pallas(img_l)
+            else:
+                score = kernels.nms3(kernels.fast_score_map(img_l))
             # Zero out the EDGE margin so every kept keypoint admits full
             # IC-angle and descriptor patch gathers.
             m = EDGE

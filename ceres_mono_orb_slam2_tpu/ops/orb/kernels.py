@@ -72,6 +72,96 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(score, 0.0)
 
 
+def fast_nms_pallas(img: jnp.ndarray, chunk: int = 32,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused FAST-9/16 max-threshold score + 3x3 NMS as one Pallas kernel.
+
+    Numerically identical (interior pixels) to `nms3(fast_score_map(img))`,
+    but the 16 circle-shifted difference planes and the 32 arc min/max
+    reductions live entirely in VMEM: the composed XLA version materializes
+    (16, B, H, W) and (24, B, H, W) f32 intermediates in HBM per pyramid
+    level, which profiled as the single largest cost of the batched extractor
+    (~16 ms of a 58 ms device step at B=8, KITTI shape). Each grid step DMAs
+    one (chunk+8, W) row band (4-px halo: radius-3 circle + 1-px NMS ring)
+    and writes the suppressed (chunk, W) score block.
+
+    Border rows/cols differ from the composed version (edge-clamped instead
+    of zero-padded NMS neighbors) — irrelevant because the extractor zeroes
+    the EDGE=19 margin before selection.
+
+    img: (B, H, W) float32. Returns (B, H, W) float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W = img.shape
+    CH = chunk
+    n_chunks = -(-H // CH)
+    Hp = n_chunks * CH + 8
+    Wp = -(-(W + 8) // 128) * 128
+    pimg = jnp.pad(img, ((0, 0), (4, Hp - H - 4), (4, Wp - W - 4)), mode="edge")
+    R = CH + 2  # score rows needed per block: chunk + 1-px NMS ring
+    Wc = W + 2
+
+    def kernel(img_ref, out_ref, vbuf, sem):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(c * CH, CH + 8), :], vbuf, sem)
+        dma.start()
+        dma.wait()
+        v = vbuf[:]
+        center = jax.lax.slice(v, (3, 3), (3 + R, 3 + Wc))
+        d = [
+            jax.lax.slice(v, (3 + int(dy), 3 + int(dx)),
+                          (3 + int(dy) + R, 3 + int(dx) + Wc)) - center
+            for dy, dx in FAST_CIRCLE
+        ]
+        # Sliding min/max over the 9-long circular arc windows. The rolling
+        # form keeps only the 16 difference planes + 3 accumulators live
+        # (a doubling ladder is 3x fewer VPU ops but its ~46 live temporaries
+        # overflow the 16 MB VMEM stack at useful chunk sizes).
+        best = None
+        for k in range(16):
+            mn9 = d[k]
+            mx9 = d[k]
+            for i in range(1, 9):
+                dd = d[(k + i) % 16]
+                mn9 = jnp.minimum(mn9, dd)
+                mx9 = jnp.maximum(mx9, dd)
+            cand = jnp.maximum(mn9, -mx9)  # bright-arc min vs dark-arc min
+            best = cand if best is None else jnp.maximum(best, cand)
+        sc = jnp.maximum(best, 0.0)  # (R, Wc) scores incl. the NMS ring
+        # 3x3 NMS with plateau tie-break (same comparisons as nms3)
+        cen = jax.lax.slice(sc, (1, 1), (1 + CH, 1 + W))
+        mb = jnp.maximum(
+            jnp.maximum(jax.lax.slice(sc, (0, 0), (CH, W)),
+                        jax.lax.slice(sc, (0, 1), (CH, 1 + W))),
+            jnp.maximum(jax.lax.slice(sc, (0, 2), (CH, 2 + W)),
+                        jax.lax.slice(sc, (1, 0), (1 + CH, W))))
+        ma = jnp.maximum(
+            jnp.maximum(jax.lax.slice(sc, (1, 2), (1 + CH, 2 + W)),
+                        jax.lax.slice(sc, (2, 0), (2 + CH, W))),
+            jnp.maximum(jax.lax.slice(sc, (2, 1), (2 + CH, 1 + W)),
+                        jax.lax.slice(sc, (2, 2), (2 + CH, 2 + W))))
+        keep = (cen > mb) & (cen >= ma)
+        out_ref[:] = jnp.where(keep, cen, 0.0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_chunks * CH, W), jnp.float32),
+        grid=(B, n_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((None, CH, W), lambda b, c: (b, c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((CH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(pimg)
+    return out[:, :H, :]
+
+
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
     """3x3 non-max suppression with plateau tie-breaking.
 
@@ -194,12 +284,16 @@ def gather_patches(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, radius: i
     W = img.shape[1]
     dy = jnp.arange(-radius, radius + 1, dtype=ys.dtype)
     ridx = (ys[:, None] + dy[None, :]).reshape(-1)  # (n*side,)
-    rows = img[ridx].reshape(n, side, W)
+    # cast BEFORE the gather: the einsum consumed bf16 rows anyway (bf16 is
+    # exact for 8-bit image content), and gathering bf16 halves the HBM
+    # traffic of the materialized (n*side, W) row block — the row gathers
+    # were ~25% of the batched extractor's device time.
+    rows = img.astype(jnp.bfloat16)[ridx].reshape(n, side, W)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (n, W, side), 1)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (n, W, side), 2)
     onehot = (w_iota == xs[:, None, None] + j_iota - radius).astype(jnp.bfloat16)
     patches = jnp.einsum(
-        "nrw,nwj->nrj", rows.astype(jnp.bfloat16), onehot,
+        "nrw,nwj->nrj", rows, onehot,
         preferred_element_type=jnp.float32,
     )
     return patches

@@ -142,3 +142,16 @@ def test_undistort_roundtrip(rng):
     uv_undist = camera.undistort_points(uv_dist, K, dist)
     expected = xy * jnp.array([520.9, 521.0]) + jnp.array([325.1, 249.7])
     np.testing.assert_allclose(np.asarray(uv_undist), np.asarray(expected), atol=0.1)
+
+
+def test_fast_nms_pallas_parity(rng):
+    """The fused Pallas FAST+NMS kernel (TPU production path) matches the
+    composed fast_score_map+nms3 on interior pixels, run via the Pallas
+    interpreter on CPU."""
+    img, _ = dots_image(96, 200, rng, n=25)
+    img = np.stack([img, img[::-1]])  # batch of 2
+    composed = np.asarray(kernels.nms3(kernels.fast_score_map(jnp.asarray(img))))
+    fused = np.asarray(kernels.fast_nms_pallas(jnp.asarray(img), interpret=True))
+    inner = (slice(None), slice(8, -8), slice(8, -8))
+    np.testing.assert_array_equal(composed[inner], fused[inner])
+    assert (composed[inner] > 0).sum() > 20
