@@ -196,12 +196,18 @@ class ORBExtractor:
             blurred = jnp.clip(jnp.floor(kernels.gaussian_blur7(img_l) + 0.5), 0.0, 255.0)
             img_lb, blurred, safe_y, safe_x = jax.lax.optimization_barrier(
                 (img_l, blurred, safe_y, safe_x))
-            p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
-                img_lb, safe_y, safe_x
-            )  # (B, n, 31, 31)
-            p39 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, DESC_R))(
-                blurred, safe_y, safe_x
-            )  # (B, n, 39, 39)
+            if jax.default_backend() == "tpu":
+                # column-windowed Pallas gather: ~W/256 less HBM traffic than
+                # the row-gather einsum; bit-identical output
+                p31 = kernels.gather_patches_pallas(img_lb, safe_y, safe_x, HALF_PATCH)
+                p39 = kernels.gather_patches_pallas(blurred, safe_y, safe_x, DESC_R)
+            else:
+                p31 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, HALF_PATCH))(
+                    img_lb, safe_y, safe_x
+                )  # (B, n, 31, 31)
+                p39 = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, DESC_R))(
+                    blurred, safe_y, safe_x
+                )  # (B, n, 39, 39)
 
             xy0 = jnp.stack([xs, ys], axis=-1).astype(jnp.float32) * scales[lv]
             octave = jnp.full(ys.shape, lv, jnp.int32)

@@ -151,7 +151,7 @@ def fast_nms_pallas(img: jnp.ndarray, chunk: int = 32,
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, n_chunks * CH, W), jnp.float32),
         grid=(B, n_chunks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, CH, W), lambda b, c: (b, c, 0)),
         scratch_shapes=[
             pltpu.VMEM((CH + 8, Wp), jnp.float32),
@@ -265,6 +265,84 @@ def ic_angle_moment_maps(img: jnp.ndarray) -> jnp.ndarray:
     x4 = img[:, None, :, :]
     out = jax.lax.conv_general_dilated(x4, jnp.asarray(w), (1, 1), "SAME")
     return out
+
+
+def gather_patches_pallas(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                          radius: int, kpb: int = 32,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batched patch gather as a Pallas kernel with column-windowed HBM reads.
+
+    Equivalent to vmap(gather_patches) over the leading batch axis, but each
+    keypoint DMAs only a (side, 256) lane-aligned window around its column
+    instead of materializing full (n*side, W) row blocks — ~W/256 (≈5x at
+    KITTI width) less HBM traffic, which profiled as ~25% of the batched
+    extractor's device time. Each grid step issues `kpb` async window copies
+    (latency overlaps across the batch), then extracts the (side, side)
+    patches with one batched one-hot MXU contraction in VMEM.
+
+    img: (B, H, W) float32/bfloat16 (8-bit content; gathered as bf16 — same
+    values the row-gather einsum consumed). ys/xs: (B, n) int32 with
+    radius <= y < H-radius, radius <= x < W-radius (the EDGE margin).
+    Returns (B, n, side, side) float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W = img.shape
+    S = 2 * radius + 1
+    WIN = 256
+    n = ys.shape[1]
+    n_pad = -(-n // kpb) * kpb
+    Wp = (-(-W // 128) + 2) * 128  # floor128(x-r)+256 stays in bounds
+    imgp = jnp.pad(img.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, Wp - W)))
+    ysp = jnp.pad(ys.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+                  constant_values=radius)
+    xsp = jnp.pad(xs.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+                  constant_values=radius)
+
+    def kernel(ys_ref, xs_ref, img_ref, out_ref, buf, sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        offs = []
+        dmas = []
+        for j in range(kpb):
+            k = t * kpb + j
+            y = ys_ref[b, k]
+            x = xs_ref[b, k]
+            xa = ((x - radius) // 128) * 128
+            offs.append(x - radius - xa)
+            dma = pltpu.make_async_copy(
+                img_ref.at[b, pl.ds(y - radius, S), pl.ds(xa, WIN)],
+                buf.at[j], sems.at[j])
+            dma.start()
+            dmas.append(dma)
+        off = jnp.stack(offs)  # (kpb,) in [0, 128)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (kpb, WIN, S), 1)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (kpb, WIN, S), 2)
+        onehot = (c_iota == off[:, None, None] + s_iota).astype(jnp.bfloat16)
+        for dma in dmas:
+            dma.wait()
+        out_ref[:] = jax.lax.dot_general(
+            buf[:], onehot, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (kpb, S, S)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_pad // kpb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((None, kpb, S, S), lambda b, t, *_: (b, t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kpb, S, WIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((kpb,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, S, S), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ysp, xsp, imgp)
+    return out[:, :n]
 
 
 def gather_patches(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, radius: int) -> jnp.ndarray:

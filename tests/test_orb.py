@@ -1,6 +1,7 @@
 """ORB extractor tests: FAST detection on synthetic patterns, descriptor
 determinism/shift-invariance, spatial distribution, camera undistortion."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -155,3 +156,18 @@ def test_fast_nms_pallas_parity(rng):
     inner = (slice(None), slice(8, -8), slice(8, -8))
     np.testing.assert_array_equal(composed[inner], fused[inner])
     assert (composed[inner] > 0).sum() > 20
+
+
+def test_gather_patches_pallas_parity(rng):
+    """The column-windowed Pallas patch gather (TPU production path) matches
+    vmapped gather_patches bit-for-bit, run via the Pallas interpreter."""
+    B, H, W, n, r = 2, 100, 280, 24, 15
+    img = rng.uniform(0, 255, (B, H, W)).astype(np.float32)
+    ys = rng.integers(r, H - r, (B, n)).astype(np.int32)
+    xs = rng.integers(r, W - r, (B, n)).astype(np.int32)
+    ref = jax.vmap(lambda im, yy, xx: kernels.gather_patches(im, yy, xx, r))(
+        jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs))
+    new = kernels.gather_patches_pallas(
+        jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs), r, kpb=8,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
