@@ -84,7 +84,8 @@ def main(argv=None):
 
         ds = load_auto(args.images)
         n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
-        frames = (ds[i] for i in range(n))
+        # native C++ prefetch loader: decodes ahead of the tracker
+        frames = ds.iter_prefetch(n)
 
     vocabulary = None
     if args.voc:

@@ -196,6 +196,13 @@ def dump_orbvoc_text(voc: Vocabulary, path: str):
     with TemplatedVocabulary::loadFromTextFile and our parse_orbvoc_text."""
     import io
 
+    from ceres_mono_orb_slam2_tpu.utils import native
+
+    if native.available() and native.dump_orbvoc_native(
+            path, voc.k, voc.levels, voc.node_desc, voc.children,
+            voc.word_id, voc.word_weight):
+        return
+
     buf = io.StringIO()
     buf.write(f"{voc.k} {voc.levels} 0 3\n")
     remap = {0: 0}
@@ -221,40 +228,71 @@ def dump_orbvoc_text(voc: Vocabulary, path: str):
 def parse_orbvoc_text(path: str) -> Vocabulary:
     """Parse the standard ORBvoc.txt (reference loadFromTextFile,
     TemplatedVocabulary.h:1338-1423): header 'k L scoring weighting', then one
-    line per node: parent_id is_leaf d0..d31 weight."""
-    with open(path, "r") as f:
-        header = f.readline().split()
-        k, levels = int(header[0]), int(header[1])
-        parents, leafs, descs, weights = [], [], [], []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 35:
-                continue
-            parents.append(int(parts[0]))
-            leafs.append(bool(int(parts[1])))
-            descs.append([int(x) for x in parts[2:34]])
-            weights.append(float(parts[34]))
+    line per node: parent_id is_leaf d0..d31 weight.
+
+    The line scan runs in the native C++ runtime when available
+    (native/orbvoc_io.cc — the reference's loader is native for the same
+    reason: a ~1.1M-line parse gates startup), with a pure-Python fallback;
+    both feed the same vectorized tree assembly."""
+    from ceres_mono_orb_slam2_tpu.utils import native
+
+    raw = native.parse_orbvoc_raw(path) if native.available() else None
+    if raw is not None:
+        k, levels, parents, leafs, descs, weights = raw
+    else:
+        with open(path, "r") as f:
+            header = f.readline().split()
+            k, levels = int(header[0]), int(header[1])
+            pl, ll, dl, wl = [], [], [], []
+            for line in f:
+                parts = line.split()
+                if len(parts) < 35:
+                    continue
+                pl.append(int(parts[0]))
+                ll.append(bool(int(parts[1])))
+                dl.append([int(x) for x in parts[2:34]])
+                wl.append(float(parts[34]))
+        parents = np.array(pl, np.int32)
+        leafs = np.array(ll, bool)
+        descs = np.array(dl, np.uint8).reshape(len(pl), 32)
+        weights = np.array(wl, np.float32)
+    return _vocabulary_from_raw(k, levels, parents, leafs, descs, weights)
+
+
+def _vocabulary_from_raw(k: int, levels: int, parents: np.ndarray,
+                         leafs: np.ndarray, descs: np.ndarray,
+                         weights: np.ndarray) -> Vocabulary:
+    """Assemble the dense tree tensors from per-line arrays (vectorized —
+    the Python dict/list version took seconds at the 1.1M-node scale)."""
     n = len(parents) + 1  # +1 root
     node_desc = np.zeros((n, 32), np.uint8)
-    node_desc[1:] = np.array(descs, np.uint8)
+    node_desc[1:] = descs
     is_leaf = np.zeros(n, bool)
     is_leaf[1:] = leafs
-    ch_lists: list = [[] for _ in range(n)]
-    for i, p in enumerate(parents):
-        ch_lists[p].append(i + 1)
-    kmax = max((len(c) for c in ch_lists), default=1) or 1
+    # children table: bucket node ids (1..n-1) under their parents
+    node_ids = np.arange(1, n, dtype=np.int32)
+    order = np.argsort(parents, kind="stable")
+    sorted_parents = parents[order].astype(np.int64)
+    counts = np.bincount(sorted_parents, minlength=n)
+    kmax = int(counts.max()) if n > 1 else 1
+    kmax = max(kmax, 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n - 1) - offsets[sorted_parents]  # rank within parent
     children = np.full((n, kmax), -1, np.int32)
-    for i, c in enumerate(ch_lists):
-        children[i, : len(c)] = c
+    children[sorted_parents, pos] = node_ids[order]
     word_id = np.full(n, -1, np.int32)
     wids = np.nonzero(is_leaf)[0]
     word_id[wids] = np.arange(len(wids), dtype=np.int32)
-    w = np.zeros(len(wids), np.float32)
-    for j, nid in enumerate(wids):
-        w[j] = weights[nid - 1]
+    w = weights[wids - 1].astype(np.float32)
+    # depth: parent ids always precede children in the file, so `levels+1`
+    # sweeps of level[child] = level[parent]+1 converge
     level = np.zeros(n, np.int32)
-    for i, p in enumerate(parents):
-        level[i + 1] = level[p] + 1
+    pidx = parents.astype(np.int64)
+    for _ in range(int(levels) + 1):
+        new = level[pidx] + 1
+        if np.array_equal(new, level[1:]):
+            break
+        level[1:] = new
     return Vocabulary(k=kmax, levels=levels, node_desc=node_desc, children=children,
                       is_leaf=is_leaf, word_id=word_id, word_weight=w, node_level=level)
 

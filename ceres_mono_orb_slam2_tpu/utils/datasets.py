@@ -14,13 +14,24 @@ from typing import List, Optional
 import numpy as np
 
 
-def _imread_gray(path: str, rgb_order: int = 1) -> np.ndarray:
+def _imread_gray_pil(path: str) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(path)
     if img.mode != "L":
         img = img.convert("L")
     return np.asarray(img, dtype=np.float32)
+
+
+def _imread_gray(path: str, rgb_order: int = 1) -> np.ndarray:
+    # Native C++ decoder first (bit-identical luma conversion; see
+    # native/dataloader.cc); PIL handles anything it declines.
+    from ceres_mono_orb_slam2_tpu.utils import native
+
+    img = native.imread_gray(path)
+    if img is not None:
+        return img
+    return _imread_gray_pil(path)
 
 
 @dataclass
@@ -33,6 +44,25 @@ class ImageSequence:
 
     def __getitem__(self, i):
         return _imread_gray(self.paths[i]), float(self.timestamps[i])
+
+    def iter_prefetch(self, n: Optional[int] = None, capacity: int = 4):
+        """Yield (image, timestamp) with the native C++ loader decoding
+        ahead of the consumer (native/dataloader.cc) — the decode of frame
+        k+1..k+capacity overlaps the tracker's device round-trips on frame
+        k. Falls back to synchronous decode when native is unavailable."""
+        from ceres_mono_orb_slam2_tpu.utils import native
+
+        n = len(self.paths) if n is None else min(n, len(self.paths))
+        if native.available():
+            loader = native.PrefetchLoader(self.paths[:n], capacity=capacity)
+            try:
+                for i, img in enumerate(loader):
+                    yield img, float(self.timestamps[i])
+            finally:
+                loader.close()
+        else:
+            for i in range(n):
+                yield self[i]
 
 
 def load_tum(directory: str, list_file: str = "rgb.txt") -> ImageSequence:
