@@ -41,12 +41,15 @@ class MultiStreamSLAM:
     decisions, mapping, loop closure) stays per-stream."""
 
     def __init__(self, config, n_streams: int, vocabulary=None,
-                 vocabularies: Optional[list] = None):
+                 vocabularies: Optional[list] = None, threaded: bool = False):
         self.config = config
         self.n_streams = n_streams
         vocs = vocabularies if vocabularies is not None else [vocabulary] * n_streams
+        # threaded: per-stream mapping/loop workers, the reference's
+        # thread-pipeline architecture (MonoORBSlam.cc:78-89) times S
         self.streams: List[MonoSLAM] = [
-            MonoSLAM(config, vocabulary=vocs[s]) for s in range(n_streams)
+            MonoSLAM(config, vocabulary=vocs[s], threaded=threaded)
+            for s in range(n_streams)
         ]
         # all streams share ONE fused step + ONE extractor jit cache: same
         # config -> same trace; separate instances would each pay the
@@ -172,9 +175,13 @@ class MultiStreamSLAM:
     def _finish_stream(self, i: int):
         """Post-track work + return value of MonoSLAM.track_monocular."""
         sysm = self.streams[i]
-        sysm.local_mapper.process_queue()
-        if sysm.loop_closer is not None:
-            sysm.loop_closer.process_queue()
+        if sysm.threaded:  # hand mapping/loop work to the stream's worker
+            if sysm.local_mapper.queue:
+                sysm._work_q.put(1)
+        else:
+            sysm.local_mapper.process_queue()
+            if sysm.loop_closer is not None:
+                sysm.loop_closer.process_queue()
         f = sysm.tracker.current
         sysm.tracker.last_frame = f
         if f.pose_set:

@@ -79,3 +79,24 @@ def test_multistream_matches_sequential(sequences):
         assert ms.streams[s].map.n_keyframes() >= 2
 
     ms.shutdown()
+
+
+def test_multistream_threaded_smoke(sequences):
+    """threaded=True: per-stream mapping/loop workers (the reference's
+    thread-pipeline, MonoORBSlam.cc:78-89) behind the batched frontend.
+    Tracking decisions must survive the worker interleavings."""
+    S = len(SEEDS)
+    ms = MultiStreamSLAM(_config(), n_streams=S, threaded=True)
+    n_ok = [0] * S
+    for k in range(N_FRAMES):
+        res = ms.track_batch([sequences[s].images[k] for s in range(S)],
+                             [sequences[s].timestamps[k] for s in range(S)])
+        for s in range(S):
+            n_ok[s] += res[s] is not None
+    assert ms.n_batched_frames >= 5, ms.n_batched_frames
+    ms.shutdown()
+    for s in range(S):
+        # tracked most frames and the worker actually built each map
+        assert n_ok[s] >= N_FRAMES - 4, (s, n_ok)
+        assert ms.streams[s].map.n_keyframes() >= 2
+        assert ms.streams[s].map.n_map_points() > 50
