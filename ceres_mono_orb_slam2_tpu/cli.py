@@ -136,6 +136,8 @@ def main(argv=None):
     slam.save_keyframe_trajectory_tum(os.path.join(args.output_dir, "KeyFrameTrajectory.txt"))
     slam.save_frame_trajectory_tum(os.path.join(args.output_dir, "FrameTrajectory.txt"))
     slam.save_map(os.path.join(args.output_dir, "map.npz"))
+    # reference-format OpenCV-YAML dump as well (main.cc:121 SaveMap("map.yaml"))
+    slam.save_map_yaml(os.path.join(args.output_dir, "map.yaml"))
     if args.stats_out:
         import json
 

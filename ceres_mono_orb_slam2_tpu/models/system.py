@@ -138,6 +138,24 @@ class MonoSLAM:
     def n_tracked_points(self) -> int:
         return self.tracker.matches_inliers
 
+    def get_tracked_map_points(self):
+        """Reference GetTrackedMapPoints (MonoORBSlam.cc:280-283): the map
+        points associated to the current frame's keypoints (None for
+        unmatched slots)."""
+        f = self.tracker.current
+        if f is None:
+            return []
+        return [self.map.map_points.get(int(m)) if m >= 0 else None
+                for m in f.mp_ids]
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Reference GetTrackedKeyPointsUn (MonoORBSlam.cc:285-288): the
+        current frame's undistorted keypoints, (N, 2) float32."""
+        f = self.tracker.current
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        return np.asarray(f.kp_und)[np.asarray(f.kp_valid)]
+
     # ----------------------------------------------------------------- savers
 
     def save_keyframe_trajectory_tum(self, path: str):
@@ -206,6 +224,49 @@ class MonoSLAM:
             kf_parent=np.array([kf.parent if kf.parent is not None else -1 for kf in kfs], np.int64),
         )
         log.info("map saved to %s (%d points, %d keyframes)", path, len(mps), len(kfs))
+
+    def save_map_yaml(self, path: str):
+        """Reference-format map dump (MonoORBSlam.cc:194-247 SaveMap writes
+        OpenCV-YAML): MapPoints as {id, pos (3x1 d), descriptor (1x32 u)} and
+        KeyFrames as {id, timestamp, R (3x3, world-from-camera rotation =
+        GetRotation().transpose()), t (camera center), map_point_indices}.
+        The reference's literal key is "map_point indices"; OpenCV
+        FileStorage rejects keys containing spaces, so the underscore form
+        is used here. Matrices use the !!opencv-matrix encoding so OpenCV's
+        cv::FileStorage reads this file back."""
+
+        # note: spaces after the colons — OpenCV's own writer omits them,
+        # which standard YAML parsers reject; cv::FileStorage reads both
+        def mat(rows, cols, dt, values):
+            data = ", ".join(("%d" % v) if dt == "u" else repr(float(v))
+                             for v in values)
+            return ("!!opencv-matrix { rows: %d, cols: %d, dt: %s, data: [ %s ] }"
+                    % (rows, cols, dt, data))
+
+        mps = sorted((mp for mp in self.map.all_map_points()),
+                     key=lambda m: m.id)
+        kfs = sorted(self.map.all_keyframes(), key=lambda k: k.id)
+        with open(path, "w") as f:
+            f.write("%YAML:1.0\n---\n")
+            f.write("MapPoints:\n")
+            for mp in mps:
+                f.write('   - { id: "%d", pos: %s,\n       descriptor: %s }\n'
+                        % (mp.id, mat(3, 1, "d", mp.pos),
+                           mat(1, 32, "u", mp.descriptor)))
+            f.write("KeyFrames:\n")
+            for kf in kfs:
+                Rwc = kf.Rcw.T
+                center = -Rwc @ kf.tcw
+                ids = sorted(int(m) for m in kf.mp_ids if m >= 0)
+                f.write('   - { id: "%d", timestamp: %r, R: %s,\n'
+                        '       t: %s,\n       map_point_indices: %s }\n'
+                        % (kf.id, float(kf.timestamp),
+                           mat(3, 3, "d", Rwc.reshape(-1)),
+                           mat(3, 1, "d", center),
+                           mat(1, max(len(ids), 1), "f",
+                               ids if ids else [-1])))
+        log.info("YAML map saved to %s (%d points, %d keyframes)",
+                 path, len(mps), len(kfs))
 
     def load_map(self, path: str):
         """Full map re-load: restores map points AND keyframes (poses,

@@ -108,3 +108,50 @@ def test_save_trajectory(tmp_path, slam_run):
     slam.save_map(str(p3))
     data = np.load(p3)
     assert data["mp_pos"].shape[0] == slam.map.n_map_points()
+
+
+def test_save_map_yaml_reference_format(tmp_path, slam_run):
+    """save_map_yaml writes the reference's OpenCV-YAML map dump
+    (MonoORBSlam.cc:194-247): MapPoints {id,pos,descriptor}, KeyFrames
+    {id,timestamp,R,t,map_point_indices} with !!opencv-matrix encoding."""
+    import yaml
+
+    seq, slam, poses = slam_run
+    p = tmp_path / "map.yaml"
+    slam.save_map_yaml(str(p))
+    text = p.read_text()
+    assert text.startswith("%YAML:1.0\n---\n")
+
+    class _L(yaml.SafeLoader):
+        pass
+
+    def _mat(loader, node):
+        d = loader.construct_mapping(node, deep=True)
+        return np.array(d["data"]).reshape(d["rows"], d["cols"])
+
+    _L.add_constructor("tag:yaml.org,2002:opencv-matrix", _mat)
+    doc = yaml.load(text.split("---\n", 1)[1], Loader=_L)
+    assert len(doc["MapPoints"]) == slam.map.n_map_points()
+    assert len(doc["KeyFrames"]) == slam.map.n_keyframes()
+    mp0 = doc["MapPoints"][0]
+    assert mp0["pos"].shape == (3, 1) and mp0["descriptor"].shape == (1, 32)
+    kf0 = doc["KeyFrames"][0]
+    # R is world-from-camera (GetRotation().transpose()), t the camera center
+    kf = sorted(slam.map.all_keyframes(), key=lambda k: k.id)[0]
+    np.testing.assert_allclose(kf0["R"], kf.Rcw.T, atol=1e-6)
+    np.testing.assert_allclose(kf0["t"][:, 0], -kf.Rcw.T @ kf.tcw, atol=1e-5)
+    ids = set(kf0["map_point_indices"][0].astype(int))
+    assert ids <= {mp.id for mp in slam.map.all_map_points()}
+
+
+def test_facade_tracked_getters(slam_run):
+    """GetTrackedMapPoints / GetTrackedKeyPointsUn parity
+    (MonoORBSlam.cc:280-293)."""
+    seq, slam, poses = slam_run
+    mps = slam.get_tracked_map_points()
+    assert len(mps) == slam.tracker.current.n_kp
+    n_assoc = sum(m is not None for m in mps)
+    assert n_assoc >= 30  # a tracking frame holds many live associations
+    kps = slam.get_tracked_keypoints_un()
+    assert kps.ndim == 2 and kps.shape[1] == 2
+    assert len(kps) >= n_assoc
