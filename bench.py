@@ -150,8 +150,8 @@ def main():
     fps1 = bench(1)
     fps8 = bench(8, iters=10)
     ba_ms = bench_local_ba()
-    sys_fps, _ = bench_full_system(n_streams=1)
-    sys_fps8, _ = bench_full_system(n_streams=8)
+    sys_fps, sys_fps_agg, _ = bench_full_system(n_streams=1)
+    sys_fps8, sys_fps8_agg, _ = bench_full_system(n_streams=8)
     result = {
         "metric": "kitti_res_tracking_step_fps_1stream",
         "value": round(fps1, 2),
@@ -160,8 +160,10 @@ def main():
         "extra": {
             "fps_8_concurrent_streams_aggregate": round(fps8, 2),
             "full_system_fps": round(sys_fps, 2),
-            "full_system_fps_8stream_aggregate": round(sys_fps8, 2),
-            "full_system_shape": "real MonoSLAM / MultiStreamSLAM over a rendered 480x640 sequence, 1500 features; wall time incl. mapping+BA, first 10 frames (compile+init) excluded",
+            "full_system_fps_aggregate": round(sys_fps_agg, 2),
+            "full_system_fps_8stream": round(sys_fps8, 2),
+            "full_system_fps_8stream_aggregate": round(sys_fps8_agg, 2),
+            "full_system_shape": "real MonoSLAM / MultiStreamSLAM (threaded, like the reference's thread split) over a rendered 480x640 sequence, 1500 features; median per-frame wall fps + aggregate, first 10 frames (compile+init) excluded",
             "local_ba_ms_per_solve": round(ba_ms, 2),
             "local_ba_shape": "16 KFs (12 free), 2048 pts, 8192 obs, 5 Huber + 10 trimmed iters",
             "baseline": "KITTI real-time pacing 15 fps (configs/KITTI00-02.yaml); reference publishes no throughput numbers",

@@ -136,6 +136,11 @@ class LiveViewer:
             return
         with self.menu_lock:
             menu = dict(self.menu)
+        # Materialize the lazy frame's host payload BEFORE taking the map
+        # lock: the device_get is a full tunnel round-trip, and holding the
+        # lock across it would stall the tracker for ~30 ms every render.
+        if getattr(f, "_host_pending", False):
+            f._materialize_host()
         # copy state under the map lock, rasterize outside it (the
         # FrameDrawer::Update / DrawFrame split)
         with self.slam.map.update_lock:

@@ -147,6 +147,11 @@ def _host_field_property(name: str) -> property:
         return getattr(self, priv)
 
     def set_(self, value):  # map-load path overwrites fields directly
+        # If the frame is still lazy, pull the other six fields from device
+        # FIRST — otherwise a later read would re-fetch everything and
+        # silently clobber this explicit write.
+        if self._host_pending:
+            self._materialize_host()
         setattr(self, priv, value)
 
     return property(get, set_)

@@ -229,11 +229,15 @@ class LocalMapping:
                         nkf2 = m.keyframes.get(nb2)
                         if nkf2 is not None and not nkf2.bad:
                             targets.append(nkf2)
-        targets = targets[: self.FUSE_BATCH]
         cur_mps = [m.resolve(int(mid)) for mid in kf.mp_ids if mid >= 0]
         cur_mps = sorted({mid for mid in cur_mps if mid >= 0})
         if targets and cur_mps:
-            self._fuse_forward_batch(targets, cur_mps)
+            # chunk over the FUSE_BATCH-sized compile bucket so every
+            # neighbor gets fused (the reference visits all ~20+5*20 of
+            # them); padding fills the last chunk
+            for c0 in range(0, len(targets), self.FUSE_BATCH):
+                self._fuse_forward_batch(
+                    targets[c0:c0 + self.FUSE_BATCH], cur_mps)
         # reverse fuse: all target map points into the current keyframe
         fuse_ids = []
         fs = set()
@@ -292,7 +296,9 @@ class LocalMapping:
             jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(mvalid),
             jnp.float32(np.log(self.config.orb.scale_factor)), self.n_levels,
             jnp.asarray(self.scale_factors),
-            jnp.asarray(self.inv_sigma2.astype(np.float32)), th=th,
+            jnp.asarray(self.inv_sigma2.astype(np.float32)),
+            bounds=(jnp.asarray(m.image_bounds)
+                    if m.image_bounds is not None else None), th=th,
         ))
         for b, tkf in enumerate(targets):
             for q in np.nonzero(valid[b, :M])[0]:

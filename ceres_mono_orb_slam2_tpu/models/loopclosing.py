@@ -397,7 +397,12 @@ class LoopClosing:
         """Reference CorrectLoop (LoopClosing.cc:401-597)."""
         m = self.map
         if self.local_mapper is not None:
-            self.local_mapper.process_queue()  # drain, like RequestStop+spin
+            # drain, like RequestStop+spin — under the map lock: in threaded
+            # mode the tracker may be mid-_grab_fused under update_lock, and
+            # mapping mutates map_points/keyframes (all callers invoke
+            # _correct_loop with the lock NOT held, so this cannot deadlock)
+            with m.update_lock:
+                self.local_mapper.process_queue()
         # abort any global BA still running from a previous loop
         # (reference LoopClosing.cc:406-419)
         if self.gba_thread is not None and self.gba_thread.is_alive():

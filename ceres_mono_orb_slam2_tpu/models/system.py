@@ -150,11 +150,15 @@ class MonoSLAM:
 
     def get_tracked_keypoints_un(self) -> np.ndarray:
         """Reference GetTrackedKeyPointsUn (MonoORBSlam.cc:285-288): the
-        current frame's undistorted keypoints, (N, 2) float32."""
+        current frame's undistorted keypoints, (N, 2) float32 — a PARALLEL
+        array to get_tracked_map_points() (same per-slot indexing as the
+        reference's keypoint/map-point vectors; padded slots carry NaN)."""
         f = self.tracker.current
         if f is None:
             return np.zeros((0, 2), np.float32)
-        return np.asarray(f.kp_und)[np.asarray(f.kp_valid)]
+        kp = np.array(f.kp_und, np.float32)
+        kp[~np.asarray(f.kp_valid)] = np.nan
+        return kp
 
     # ----------------------------------------------------------------- savers
 

@@ -11,6 +11,7 @@ with static padded shapes.
 from __future__ import annotations
 
 import enum
+import itertools
 import logging
 from typing import Optional
 
@@ -66,6 +67,14 @@ class Tracking:
         self.localization_only = False
         self.do_vo = False  # reference do_vo_: weak map tracking in localization mode
         self._key = jax.random.PRNGKey(0)
+        # Per-tracker frame sequence. The id gates below (keyframe cadence
+        # `id >= last_kf_frame_id + max_frames`, post-reloc window
+        # `id < last_reloc_frame_id + max_frames`) treat ids as FRAME COUNTS
+        # (reference Frame::nNextId is global because the reference runs one
+        # system per process); with S concurrent streams a process-global
+        # counter would advance ~S per tracked frame and shrink every window
+        # ~S-fold, so each Tracking numbers its own frames.
+        self._frame_seq = itertools.count()
 
         # per-frame trajectory log: (ref_kf_id, R_rel, t_rel, timestamp, lost)
         self.trajectory = []
@@ -99,7 +108,8 @@ class Tracking:
             self.map.image_bounds = self.bounds  # loop closing projects with these
         feats = self.extractor.extract(image)
         feats = jax.tree_util.tree_map(lambda a: a[0], feats)
-        return Frame(feats, self.cam, timestamp)
+        return Frame(feats, self.cam, timestamp,
+                     frame_id=next(self._frame_seq))
 
     def grab_image(self, image: np.ndarray, timestamp: float):
         """Reference Tracking::GrabImageMonocular + Track()
@@ -333,7 +343,8 @@ class Tracking:
         (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
          assoc, inl2, ninl2, h_valid) = host
 
-        f = Frame(feats, self.cam, timestamp, lazy=True, j_und=out.und)
+        f = Frame(feats, self.cam, timestamp, lazy=True, j_und=out.und,
+                  frame_id=next(self._frame_seq))
         self.current = f
         self._stat = {"frame_id": f.id, "timestamp": f.timestamp,
                       "n_kp": int(h_valid.sum()), "method": "fused",

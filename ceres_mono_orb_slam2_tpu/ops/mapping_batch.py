@@ -118,12 +118,16 @@ def fuse_into_targets(
     mvalid,                         # (B,M) per-target point validity (point
                                     # exists AND target doesn't observe it yet)
     log_scale, n_levels, scale_factors, inv_level_sigma2,
+    bounds=None,
     th: float = 3.0,
 ):
     """Project one map-point block into ALL target keyframes and run the
     fuse search (reference ORBmatcher::Fuse, ORBmatcher.cc:724-842) as one
-    batched call. Returns (idx (B,M), valid (B,M))."""
-    bounds = jnp.array([-1e6, 1e6, -1e6, 1e6], jnp.float32)
+    batched call. `bounds` = undistorted image bounds [min_x, max_x, min_y,
+    max_y] — the reference's pKF->IsInImage(u,v) gate (ORBmatcher.cc:745);
+    None disables the gate. Returns (idx (B,M), valid (B,M))."""
+    if bounds is None:
+        bounds = jnp.array([-1e6, 1e6, -1e6, 1e6], jnp.float32)
     pr_bits = matcher.unpack_bits_pm1(desc)
 
     def per_target(Rb, tb, xyb, octb, descb, kvb, mvb):

@@ -153,5 +153,8 @@ def test_facade_tracked_getters(slam_run):
     n_assoc = sum(m is not None for m in mps)
     assert n_assoc >= 30  # a tracking frame holds many live associations
     kps = slam.get_tracked_keypoints_un()
-    assert kps.ndim == 2 and kps.shape[1] == 2
-    assert len(kps) >= n_assoc
+    # parallel arrays, per-slot aligned like the reference's vectors
+    assert kps.shape == (len(mps), 2)
+    for i, m in enumerate(mps):
+        if m is not None:
+            assert np.isfinite(kps[i]).all()
