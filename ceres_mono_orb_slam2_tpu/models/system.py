@@ -145,8 +145,20 @@ class MonoSLAM:
         f = self.tracker.current
         if f is None:
             return []
-        return [self.map.map_points.get(int(m)) if m >= 0 else None
-                for m in f.mp_ids]
+        out = []
+        for m in f.mp_ids:
+            mp = None
+            if m >= 0:
+                # follow Replace() forwarding (the reference resolves
+                # replaced pointers via CheckReplacedInLastFrame,
+                # Tracking.cc:553-564) and drop dead tombstones
+                rid = self.map.resolve(int(m))
+                if rid >= 0:
+                    mp = self.map.map_points.get(rid)
+                    if mp is not None and mp.bad:
+                        mp = None
+            out.append(mp)
+        return out
 
     def get_tracked_keypoints_un(self) -> np.ndarray:
         """Reference GetTrackedKeyPointsUn (MonoORBSlam.cc:285-288): the

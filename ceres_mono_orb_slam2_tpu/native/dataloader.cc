@@ -10,6 +10,8 @@
 // Grayscale conversion matches PIL's convert("L") exactly for 8-bit RGB(A):
 //   L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16   (ITU-R 601-2 luma)
 // so the native and Python fallback paths produce identical tensors.
+// 16-bit samples take the high byte — the reference's cv::imread 16->8
+// conversion — and the PIL fallback applies the same >>8 for 16-bit modes.
 //
 // C ABI for ctypes (no pybind11 in this image).
 
@@ -294,27 +296,55 @@ int img_decode_file(const char* path, float* out, int* w, int* h,
   return 0;
 }
 
-// Probe dimensions without full decode (PNG IHDR / PGM header).
+// Probe dimensions from the header only (PNG IHDR / PGM header): reads just
+// the first 4 KB, validates the container magic, and bounds the dims — a
+// corrupt file must return nonzero so the caller falls back, never garbage
+// w/h that the Python side would allocate from.
 int img_probe_file(const char* path, int* w, int* h) {
-  long len = 0;
-  uint8_t* buf = read_file(path, &len);
-  if (!buf) return -10;
-  int ret = -1;
-  if (len > 24 && buf[0] == 137) {
-    *w = static_cast<int>(be32(buf + 16));
-    *h = static_cast<int>(be32(buf + 20));
-    ret = 0;
-  } else if (len > 2 && buf[0] == 'P' && buf[1] == '5') {
-    Image im;
-    if (decode_pgm(buf, len, &im) == 0) {
-      *w = im.w;
-      *h = im.h;
-      std::free(im.px);
-      ret = 0;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -10;
+  uint8_t head[4096];
+  long len = static_cast<long>(std::fread(head, 1, sizeof(head), f));
+  std::fclose(f);
+  int pw = 0, ph = 0;
+  static const uint8_t magic[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (len >= 24 && std::memcmp(head, magic, 8) == 0 &&
+      std::memcmp(head + 12, "IHDR", 4) == 0) {
+    pw = static_cast<int>(be32(head + 16));
+    ph = static_cast<int>(be32(head + 20));
+  } else if (len > 2 && head[0] == 'P' && head[1] == '5') {
+    // parse "P5 <w> <h>" tokens (comments allowed) without touching pixels
+    long pos = 2;
+    long vals[2] = {0, 0};
+    for (int i = 0; i < 2; ++i) {
+      while (pos < len) {
+        if (head[pos] == '#') {
+          while (pos < len && head[pos] != '\n') ++pos;
+        } else if (head[pos] == ' ' || head[pos] == '\n' ||
+                   head[pos] == '\r' || head[pos] == '\t') {
+          ++pos;
+        } else {
+          break;
+        }
+      }
+      bool any = false;
+      while (pos < len && head[pos] >= '0' && head[pos] <= '9') {
+        vals[i] = vals[i] * 10 + (head[pos++] - '0');
+        any = true;
+      }
+      if (!any) return -1;  // header beyond 4 KB or malformed → fallback
     }
+    pw = static_cast<int>(vals[0]);
+    ph = static_cast<int>(vals[1]);
+  } else {
+    return -1;
   }
-  std::free(buf);
-  return ret;
+  if (pw <= 0 || ph <= 0 || pw > 65535 || ph > 65535 ||
+      long(pw) * ph > (1L << 28))
+    return -1;
+  *w = pw;
+  *h = ph;
+  return 0;
 }
 
 void* loader_create(const char** paths, long n, int capacity) {

@@ -164,9 +164,11 @@ int orbvoc_dump(const char* path, int k, int levels, const uint8_t* descs,
   // order (root=0)
   int32_t* remap = static_cast<int32_t*>(std::malloc(n_nodes * sizeof(int32_t)));
   long* stack = static_cast<long*>(std::malloc(n_nodes * sizeof(long)));
-  if (!remap || !stack) {
+  long* kids = static_cast<long*>(std::malloc((kmax > 0 ? kmax : 1) * sizeof(long)));
+  if (!remap || !stack || !kids) {
     std::free(remap);
     std::free(stack);
+    std::free(kids);
     std::fclose(f);
     return -1;
   }
@@ -182,9 +184,8 @@ int orbvoc_dump(const char* path, int k, int levels, const uint8_t* descs,
   while (sp > 0) {
     long node = stack[--sp];
     const int32_t* ch = children + node * kmax;
-    long kids[64];
     int nk = 0;
-    for (int i = 0; i < kmax && nk < 64; ++i)
+    for (int i = 0; i < kmax; ++i)
       if (ch[i] >= 0) kids[nk++] = ch[i];
     for (int i = 0; i < nk; ++i) {
       long c = kids[i];
@@ -199,6 +200,7 @@ int orbvoc_dump(const char* path, int k, int levels, const uint8_t* descs,
   }
   std::free(remap);
   std::free(stack);
+  std::free(kids);
   return std::fclose(f) == 0 ? 0 : -1;
 }
 

@@ -284,15 +284,21 @@ def _vocabulary_from_raw(k: int, levels: int, parents: np.ndarray,
     wids = np.nonzero(is_leaf)[0]
     word_id[wids] = np.arange(len(wids), dtype=np.int32)
     w = weights[wids - 1].astype(np.float32)
-    # depth: parent ids always precede children in the file, so `levels+1`
-    # sweeps of level[child] = level[parent]+1 converge
+    # depth: sweep level[child] = level[parent]+1 to a fixpoint. Parent ids
+    # precede children in a well-formed file so ~levels+1 sweeps suffice,
+    # but the header's L is untrusted input — iterate until converged with
+    # a hard cap rather than silently stopping at L+1.
     level = np.zeros(n, np.int32)
     pidx = parents.astype(np.int64)
-    for _ in range(int(levels) + 1):
+    for _ in range(max(int(levels) + 1, 1) + 512):
         new = level[pidx] + 1
         if np.array_equal(new, level[1:]):
             break
         level[1:] = new
+    else:
+        raise ValueError(
+            "vocabulary tree did not converge to a fixed depth "
+            f"(header levels={levels}); cyclic or corrupt parent ids")
     return Vocabulary(k=kmax, levels=levels, node_desc=node_desc, children=children,
                       is_leaf=is_leaf, word_id=word_id, word_weight=w, node_level=level)
 

@@ -18,6 +18,12 @@ def _imread_gray_pil(path: str) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(path)
+    if img.mode in ("I", "I;16", "I;16B", "I;16L"):
+        # 16-bit grayscale: take the high byte (the reference's cv::imread
+        # 16->8 conversion and the native decoder do the same; PIL's
+        # convert("L") would saturate everything >255 instead)
+        a = np.asarray(img, dtype=np.uint32)
+        return (a >> 8).astype(np.float32)
     if img.mode != "L":
         img = img.convert("L")
     return np.asarray(img, dtype=np.float32)

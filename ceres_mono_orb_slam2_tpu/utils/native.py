@@ -15,8 +15,10 @@ ORBvoc parser), asserting identical outputs in tests.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 from typing import List, Optional, Tuple
 
@@ -24,27 +26,37 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SOURCES = ["orbvoc_io.cc", "dataloader.cc"]
-_LIB_NAME = "libceres_native.so"
 
+# None = not tried yet; False = tried and failed (don't retry per call —
+# imread_gray runs once per frame); object = loaded library.
 _lib = None
 _lib_lock = threading.Lock()
 _build_error: Optional[str] = None
 
 
-def _build_library() -> Optional[str]:
-    """Compile the shared library if missing or stale. Returns the .so path
-    or None on failure (recording the error for diagnostics)."""
+def _build_library(force: bool = False) -> Optional[str]:
+    """Compile the shared library into a source-hash-keyed cache path.
+
+    Hash-keyed output makes staleness impossible (git does not preserve
+    mtimes, so mtime comparison against a checked-in binary is meaningless);
+    an edited source simply maps to a different .so path. Returns the .so
+    path or None on failure (recording the error for diagnostics)."""
     global _build_error
-    so_path = os.path.join(_NATIVE_DIR, _LIB_NAME)
     srcs = [os.path.join(_NATIVE_DIR, s) for s in _SOURCES]
     if not all(os.path.exists(s) for s in srcs):
         _build_error = "native sources not found"
         return None
-    if os.path.exists(so_path) and all(
-        os.path.getmtime(so_path) >= os.path.getmtime(s) for s in srcs
-    ):
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    cache = os.path.join(tempfile.gettempdir(), "ceres_native_cache")
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"libceres_native_{h.hexdigest()[:16]}.so")
+    if os.path.exists(so_path) and not force:
         return so_path
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", so_path,
+    tmp = so_path + f".build{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
            *srcs, "-lz", "-lpthread"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -54,25 +66,35 @@ def _build_library() -> Optional[str]:
     if proc.returncode != 0:
         _build_error = proc.stderr[-2000:]
         return None
+    os.replace(tmp, so_path)  # atomic vs concurrent builders
     return so_path
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+    A load failure is cached — callers fall back to pure Python without
+    re-attempting the build/dlopen on every frame."""
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib or None
     with _lib_lock:
         if _lib is not None:
-            return _lib
-        so_path = _build_library()
-        if so_path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(so_path)
-        except OSError as e:
-            global _build_error
-            _build_error = str(e)
+            return _lib or None
+        lib = None
+        for attempt in range(2):
+            so_path = _build_library(force=attempt > 0)
+            if so_path is None:
+                break
+            try:
+                lib = ctypes.CDLL(so_path)
+                break
+            except OSError as e:
+                # a cached .so from another arch/glibc: rebuild once fresh
+                global _build_error
+                _build_error = str(e)
+                lib = None
+        if lib is None:
+            _lib = False
             return None
         c = ctypes
         lib.orbvoc_count.restype = c.c_long
@@ -165,6 +187,11 @@ def imread_gray(path: str) -> Optional[np.ndarray]:
     w = ctypes.c_int()
     h = ctypes.c_int()
     if lib.img_probe_file(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    # belt-and-braces dim guard: a corrupt header must fall back to PIL,
+    # not raise/allocate absurdly here
+    if not (0 < w.value <= 65535 and 0 < h.value <= 65535
+            and w.value * h.value <= (1 << 28)):
         return None
     out = np.empty((h.value, w.value), np.float32)
     ret = lib.img_decode_file(path.encode(), out.ctypes.data,

@@ -140,6 +140,52 @@ def test_orbvoc_native_python_identical(tmp_path):
         np.sort(v_nat.word_weight), np.sort(voc.word_weight), atol=1e-5)
 
 
+def test_decode_16bit_matches_reference_scaling(tmp_path):
+    """16-bit grayscale PNGs: both paths take the high byte (the reference's
+    cv::imread 16->8 conversion), not PIL's saturating convert('L')."""
+    from PIL import Image
+
+    a16 = ((np.arange(48 * 64, dtype=np.uint32).reshape(48, 64) * 977)
+           % 65536).astype(np.uint16)
+    p = str(tmp_path / "t16.png")
+    Image.fromarray(a16).save(p)
+    nat = native.imread_gray(p)
+    pil = _imread_gray_pil(p)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, pil)
+    np.testing.assert_array_equal(pil, (a16 >> 8).astype(np.float32))
+
+
+def test_corrupt_header_falls_back(tmp_path):
+    """A file with a PNG first byte but garbage header must return None
+    (clean PIL fallback), not raise or allocate from garbage dims."""
+    p = str(tmp_path / "corrupt.png")
+    with open(p, "wb") as f:
+        f.write(bytes([137]) + b"garbage" * 300)
+    assert native.imread_gray(p) is None
+
+
+def test_orbvoc_dump_wide_branching(tmp_path):
+    """The native writer handles branching factors beyond any fixed stack
+    buffer (a k=80 single-level star tree round-trips identically)."""
+    rng = np.random.default_rng(9)
+    k = 80
+    n = k + 1
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_desc[1:] = rng.integers(0, 256, (k, 32), np.uint8)
+    children = np.full((n, k), -1, np.int32)
+    children[0] = np.arange(1, n, dtype=np.int32)
+    word_id = np.concatenate([[-1], np.arange(k)]).astype(np.int32)
+    weights = rng.uniform(0.1, 2.0, k).astype(np.float32)
+    p = str(tmp_path / "wide.txt")
+    assert native.dump_orbvoc_native(p, k, 1, node_desc, children,
+                                     word_id, weights)
+    v = bow.parse_orbvoc_text(p)
+    assert len(v.node_desc) == n  # no silently dropped children
+    np.testing.assert_array_equal(np.sort(v.node_desc[1:], axis=0),
+                                  np.sort(node_desc[1:], axis=0))
+
+
 def test_orbvoc_count(tmp_path):
     voc = bow.synth_vocabulary(k=3, levels=2, seed=2)
     p = str(tmp_path / "voc.txt")
