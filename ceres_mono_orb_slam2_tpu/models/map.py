@@ -487,21 +487,42 @@ class Map:
             nsum = unit.sum(axis=1)
             nobs = ok.sum(axis=1)
 
+            # ref-KF scale distances, grouped by ref keyframe so the norms
+            # and octave gathers vectorize (a np.linalg.norm on a 3-vector
+            # per point cost ~10 us x thousands of points per keyframe)
+            ref_rows: Dict[int, list] = {}
+            for p, (mp, obs) in enumerate(ents):
+                if nobs[p] == 0:
+                    continue
+                ref = self.keyframes.get(mp.ref_kf_id)
+                if ref is None or ref.bad:
+                    mp.ref_kf_id = next(iter(mp.observations))
+                    ref = self.keyframes.get(mp.ref_kf_id)
+                    if ref is None:
+                        continue
+                ref_rows.setdefault(mp.ref_kf_id, []).append(
+                    (p, mp.observations.get(mp.ref_kf_id, -1)))
+            sf = np.asarray(scale_factors, np.float64)
+            max_d = np.zeros(P, np.float64)
+            has_ref = np.zeros(P, bool)
+            for kf_id, rows in ref_rows.items():
+                ref = self.keyframes[kf_id]
+                pr = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+                ir = np.fromiter((r[1] for r in rows), np.int64, len(rows))
+                d = np.linalg.norm(pos[pr] - center_of(ref)[None, :], axis=1)
+                lv = np.where(ir >= 0, ref.kp_octave[np.maximum(ir, 0)], 0)
+                max_d[pr] = d * sf[lv]
+                has_ref[pr] = True
+            if descriptors:
+                best_desc = desc[np.arange(P), best]  # fresh (P, 32) buffer
+            normals = (nsum / np.maximum(nobs, 1)[:, None]).astype(np.float32)
             for p, (mp, obs) in enumerate(ents):
                 if descriptors:
-                    mp.descriptor = desc[p, best[p]].copy()
-                if nobs[p] > 0:
-                    ref = self.keyframes.get(mp.ref_kf_id)
-                    if ref is None or ref.bad:
-                        mp.ref_kf_id = next(iter(mp.observations))
-                        ref = self.keyframes.get(mp.ref_kf_id)
-                    if ref is not None:
-                        d = float(np.linalg.norm(mp.pos - center_of(ref)))
-                        idx = mp.observations.get(ref.id)
-                        level = int(ref.kp_octave[idx]) if idx is not None else 0
-                        mp.max_dist = d * float(scale_factors[level])
-                        mp.min_dist = mp.max_dist / sf_last
-                        mp.normal = (nsum[p] / nobs[p]).astype(np.float32)
+                    mp.descriptor = best_desc[p]
+                if has_ref[p]:
+                    mp.max_dist = float(max_d[p])
+                    mp.min_dist = mp.max_dist / sf_last
+                    mp.normal = normals[p]
                 self.mp_dirty.add(mp.id)
 
     # ----- misc ------------------------------------------------------------------
