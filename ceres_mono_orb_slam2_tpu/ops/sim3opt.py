@@ -145,7 +145,7 @@ def _edge_residuals(R, t, s, ei, ej, Rm, tm, sm):
     return lie.sim3_log(Re, te, se)  # (E, 7)
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "axis_name"))
 def optimize_essential_graph(
     R,  # (P, 3, 3) initial sim3 rotations (world->camera, s*R|t form)
     t,  # (P, 3)
@@ -159,6 +159,7 @@ def optimize_essential_graph(
     fixed,  # (P,) bool — at least the loop keyframe (reference cc:788-791)
     gn_iters: int = 30,
     cg_iters: int = 100,
+    axis_name: str = None,
 ) -> EssentialGraphResult:
     """Sim3 pose-graph optimization, matrix-free PCG Gauss-Newton.
 
@@ -166,14 +167,24 @@ def optimize_essential_graph(
     (Jr^-1 ~ I + ad/2 + ad^2/12, CeresOptimizer.h:271-328):
       dr/ddelta_i =  Jl^-1(r) Adj(S_ji)   (left increments S <- exp(d) S)
       dr/ddelta_j = -Jr^-1(r)
+
+    With `axis_name` set, the solver runs under `shard_map` with the EDGE
+    axis sharded across a device mesh: every edge-axis reduction (gradient
+    and Hessian-diagonal scatters, GN matvecs, costs) becomes a local
+    scatter-add + `psum`, while the (P, 7) vertex state stays replicated —
+    the same recipe as `bundle_adjustment_cg`'s observation sharding
+    (parallel/sharded_ba.py).
     """
     P = R.shape[0]
     free = (~fixed).astype(R.dtype)[:, None]
     ew = edge_valid.astype(R.dtype)
 
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     def cost_fn(R, t, s):
         r = _edge_residuals(R, t, s, edge_i, edge_j, Rm, tm, sm)
-        return jnp.sum(ew * jnp.sum(r * r, -1))
+        return allsum(jnp.sum(ew * jnp.sum(r * r, -1)))
 
     def gn_step(carry, _):
         R, t, s, lam, cost = carry
@@ -190,20 +201,21 @@ def optimize_essential_graph(
         # gradient b = -J^T r, scattered to vertices
         bi = -jnp.einsum("eki,ek->ei", Ji, r)
         bj = -jnp.einsum("eki,ek->ei", Jj, r)
-        b = jnp.zeros((P, 7), R.dtype).at[edge_i].add(bi).at[edge_j].add(bj)
+        b = allsum(jnp.zeros((P, 7), R.dtype).at[edge_i].add(bi).at[edge_j].add(bj))
         b = b * free
 
         # block-diagonal of H for the Jacobi preconditioner + damping
         Hii = jnp.einsum("eki,ekl->eil", Ji, Ji)
         Hjj = jnp.einsum("eki,ekl->eil", Jj, Jj)
-        Hdiag = jnp.zeros((P, 7, 7), R.dtype).at[edge_i].add(Hii).at[edge_j].add(Hjj)
+        Hdiag = allsum(
+            jnp.zeros((P, 7, 7), R.dtype).at[edge_i].add(Hii).at[edge_j].add(Hjj))
         eye7 = jnp.eye(7, dtype=R.dtype)
         Hdiag_d = Hdiag + lam * (Hdiag * eye7) + 1e-6 * eye7
         Minv = jnp.linalg.inv(Hdiag_d)
 
         def Hv(x):  # damped Gauss-Newton matvec, matrix-free over edges
             yi = jnp.einsum("ekl,el->ek", Ji, x[edge_i]) + jnp.einsum("ekl,el->ek", Jj, x[edge_j])
-            out = (
+            out = allsum(
                 jnp.zeros((P, 7), R.dtype)
                 .at[edge_i]
                 .add(jnp.einsum("eki,ek->ei", Ji, yi))

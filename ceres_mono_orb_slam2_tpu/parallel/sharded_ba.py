@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ceres_mono_orb_slam2_tpu.ops import optim
+from ceres_mono_orb_slam2_tpu.ops import optim, sim3opt
 
 
 def bundle_adjustment_cg_sharded(
@@ -61,4 +61,43 @@ def bundle_adjustment_cg_sharded(
         jnp.asarray(obs_pose), jnp.asarray(obs_point), jnp.asarray(obs_uv),
         jnp.asarray(obs_inv_sigma2), jnp.asarray(obs_valid),
         jnp.asarray(fixed_pose), jnp.asarray(point_valid),
+    )
+
+
+def optimize_essential_graph_sharded(
+    mesh: Mesh,
+    axis: str,
+    R, t, s,
+    edge_i, edge_j, Rm, tm, sm, edge_valid, fixed,
+    gn_iters: int = 30,
+    cg_iters: int = 100,
+) -> sim3opt.EssentialGraphResult:
+    """Run optimize_essential_graph with the EDGE axis sharded over
+    `mesh[axis]` (reference analogue: CeresOptimizer::OptimizeEssentialGraph,
+    CeresOptimizer.cc:737-957, which Ceres solves single-threaded). The
+    (P, 7) sim3 vertex state is replicated; each GN/PCG step reduces the
+    per-edge scatters with a `psum` over ICI. Edge array lengths must be
+    divisible by the axis size (pad `edge_valid` with False rows)."""
+    n = mesh.shape[axis]
+    E = edge_i.shape[0]
+    if E % n != 0:
+        raise ValueError(f"edge count {E} not divisible by mesh axis {n}")
+
+    rep = P()
+    edge = P(axis)
+    fn = partial(
+        sim3opt.optimize_essential_graph,
+        gn_iters=gn_iters, cg_iters=cg_iters, axis_name=axis,
+    )
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(rep, rep, rep, edge, edge, edge, edge, edge, edge, rep),
+        out_specs=sim3opt.EssentialGraphResult(R=rep, t=rep, s=rep, cost=rep),
+        check_vma=False,
+    )
+    return sharded(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(s),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(Rm),
+        jnp.asarray(tm), jnp.asarray(sm), jnp.asarray(edge_valid),
+        jnp.asarray(fixed),
     )

@@ -14,8 +14,9 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
-from ceres_mono_orb_slam2_tpu.ops import optim
-from ceres_mono_orb_slam2_tpu.parallel.sharded_ba import bundle_adjustment_cg_sharded
+from ceres_mono_orb_slam2_tpu.ops import lie, optim, sim3opt
+from ceres_mono_orb_slam2_tpu.parallel.sharded_ba import (
+    bundle_adjustment_cg_sharded, optimize_essential_graph_sharded)
 
 
 def _make_problem(rng, P=6, M=300, O=1504):
@@ -69,6 +70,59 @@ def test_sharded_cg_matches_single_device(rng, mesh8):
     # inlier classification identical (sharded output is O-sharded; gather it)
     np.testing.assert_array_equal(
         np.asarray(sharded.inlier_obs), np.asarray(single.inlier_obs))
+
+
+def test_sharded_essential_graph_matches_single_device(rng, mesh8):
+    """The sim3 pose-graph solve sharded over the EDGE axis equals the
+    single-device solve and recovers the ground-truth loop closure.
+    Reference analogue: CeresOptimizer::OptimizeEssentialGraph
+    (CeresOptimizer.cc:737-957), single-threaded in the reference."""
+    from tests.test_sim3opt import circle_poses, rel_sim3
+
+    P = 24  # 23 odometry edges + 1 loop edge = 24, divisible by the mesh
+    Rt, tt, st = circle_poses(P)
+    ei, ej, Rm, tm, sm = [], [], [], [], []
+    for k in range(P - 1):
+        Rr, tr, sr = rel_sim3(Rt[k], tt[k], st[k], Rt[k + 1], tt[k + 1], st[k + 1])
+        ei.append(k), ej.append(k + 1)
+        Rm.append(np.asarray(Rr)), tm.append(np.asarray(tr)), sm.append(float(sr))
+    Rr, tr, sr = rel_sim3(Rt[P - 1], tt[P - 1], st[P - 1], Rt[0], tt[0], st[0])
+    ei.append(P - 1), ej.append(0)
+    Rm.append(np.asarray(Rr)), tm.append(np.asarray(tr)), sm.append(float(sr))
+
+    # drifted initialization: integrate odometry with noise
+    R0, t0, s0 = [Rt[0]], [tt[0]], [1.0]
+    for k in range(P - 1):
+        noise = rng.standard_normal(7).astype(np.float32) * np.array(
+            [0.02] * 3 + [0.01] * 3 + [0.01], np.float32)
+        dR, dt, ds = lie.sim3_exp(jnp.asarray(noise))
+        Rn, tn, sn = lie.sim3_compose(
+            dR, dt, ds,
+            *lie.sim3_compose(jnp.asarray(Rm[k]), jnp.asarray(tm[k]),
+                              jnp.asarray(sm[k]), jnp.asarray(R0[k]),
+                              jnp.asarray(t0[k]), jnp.asarray(np.float32(s0[k]))))
+        R0.append(np.asarray(Rn)), t0.append(np.asarray(tn)), s0.append(float(sn))
+
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+    args = (np.array(R0), np.array(t0), np.array(s0, np.float32),
+            np.array(ei, np.int32), np.array(ej, np.int32),
+            np.array(Rm), np.array(tm), np.array(sm, np.float32),
+            np.ones(P, bool), fixed)
+    single = sim3opt.optimize_essential_graph(*[jnp.asarray(a) for a in args])
+    sharded = optimize_essential_graph_sharded(mesh8, "obs", *args)
+    jax.block_until_ready(sharded)
+    np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sharded.s), np.asarray(single.s),
+                               rtol=0, atol=1e-3)
+    # and both recover the ground truth from the drifted initialization
+    drift_t = np.abs(np.array(t0) - tt).max()
+    assert drift_t > 0.1
+    assert np.abs(np.asarray(sharded.t) - tt).max() < 0.02
+    assert np.abs(np.asarray(sharded.s) - st).max() < 0.01
 
 
 def test_sharded_cg_improves_cost(rng, mesh8):
