@@ -39,6 +39,10 @@ def main(argv=None):
                          "Pangolin-menu controls on this HTTP port (0 = ephemeral)")
     ap.add_argument("--threaded", action="store_true",
                     help="run mapping/loop-closing on a worker thread (reference architecture)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="pipelined tracking: dispatch each frame before fetching the "
+                         "previous frame's results (hides device round-trip latency; "
+                         "poses report with one frame of latency)")
     ap.add_argument("--stats-out", help="write per-frame structured stats as JSONL")
     ap.add_argument("--profile-dir", help="capture a jax profiler trace of the run")
     args = ap.parse_args(argv)
@@ -94,7 +98,8 @@ def main(argv=None):
         vocabulary = parse_orbvoc_text(args.voc)
 
     slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer,
-                    threaded=args.threaded, live_viewer_port=args.live_viewer)
+                    threaded=args.threaded, live_viewer_port=args.live_viewer,
+                    pipelined=args.pipelined)
     if args.localization:
         slam.activate_localization_mode()
 

@@ -54,6 +54,12 @@ class FusedOut(NamedTuple):
     assoc: jnp.ndarray  # (N,) bool: kp slot bound after both stages
     inl2: jnp.ndarray  # (N,) final inlier mask
     n2_inliers: jnp.ndarray  # ()
+    # --- chained next-frame state (stays on device; the pipelined tracker
+    # feeds these straight back as the NEXT frame's last-frame inputs so a
+    # frame can be dispatched before the previous frame's results are fetched)
+    pos_kp: jnp.ndarray  # (N,3) bound 3D point per kp slot
+    ok_next: jnp.ndarray  # (N,) bool: inlier-bound slots = next last_ok
+    next_local_row: jnp.ndarray  # (N,) int32 local-block row of the bound point (-1 none)
 
 
 def build_fused_step(config):
@@ -171,12 +177,26 @@ def build_fused_step(config):
         assoc = bound1 | ok_new
         res2 = optim.pose_optimization(K, res1.R, res1.t, pos_kp, und, w, assoc)
 
+        # chained next-frame state: exactly what the host would rebuild for
+        # the next frame's stage-1 inputs from this frame's bindings
+        # (tracking._gather_frame_points + the last_local_row mapping), minus
+        # the post-solve outlier slots (the host clears them too,
+        # Tracking.cc:345-350 / tracking._finish_track)
+        ok_next = assoc & res2.inliers
+        row1 = jnp.full((N + 1,), -1, jnp.int32).at[safe1].set(last_local_row)[:-1]
+        row2 = jnp.full((N + 1,), -1, jnp.int32).at[safe2].set(
+            jnp.arange(L, dtype=jnp.int32))[:-1]
+        row2 = jnp.where(ok_new, row2, -1)
+        next_row = jnp.where(ok_new, row2, jnp.where(bound1, row1, -1))
+        next_row = jnp.where(ok_next, next_row, -1)
+
         return FusedOut(
             R=res2.R, t=res2.t, und=und,
             m1_idx=m1_idx, m1_valid=m1_valid, inl1=inl1,
             n1_matches=n1, n1_inliers=res1.n_inliers,
             m2_idx=m2_idx, m2_valid=m2_valid, visible=visible,
             assoc=assoc, inl2=res2.inliers, n2_inliers=res2.n_inliers,
+            pos_kp=pos_kp, ok_next=ok_next, next_local_row=next_row,
         )
 
     return step

@@ -35,7 +35,7 @@ class MonoSLAM:
     """Python equivalent of the reference MonoORBSlam facade."""
 
     def __init__(self, config, vocabulary=None, use_viewer: bool = False, threaded: bool = False,
-                 live_viewer_port: Optional[int] = None):
+                 live_viewer_port: Optional[int] = None, pipelined: bool = False):
         self.config = config
         self.map = Map()
         self.extractor = ORBExtractor(config.orb)
@@ -53,6 +53,7 @@ class MonoSLAM:
         self.tracker = Tracking(
             config, self.map, self.extractor,
             local_mapper=self.local_mapper, relocalizer=self.keyframe_db,
+            pipelined=pipelined,
         )
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
@@ -112,9 +113,11 @@ class MonoSLAM:
         return Tcw
 
     def activate_localization_mode(self):
+        self.tracker.flush_pipeline()
         self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
+        self.tracker.flush_pipeline()
         self.tracker.localization_only = False
 
     def reset(self):
@@ -122,6 +125,9 @@ class MonoSLAM:
             self.tracker.reset()
 
     def shutdown(self):
+        # drain any in-flight pipelined frame so the trajectory log and map
+        # are complete before the workers stop
+        self.tracker.flush_pipeline()
         self._shutdown = True
         if self.live_viewer is not None:
             self.live_viewer.shutdown()
@@ -177,6 +183,7 @@ class MonoSLAM:
     def save_keyframe_trajectory_tum(self, path: str):
         """Reference SaveKeyFrameTrajectoryTUM (MonoORBSlam.cc:249-278):
         'timestamp tx ty tz qx qy qz qw' per keyframe, camera-to-world."""
+        self.tracker.flush_pipeline()
         kfs = sorted(self.map.all_keyframes(), key=lambda k: k.id)
         with open(path, "w") as f:
             for kf in kfs:
@@ -192,6 +199,7 @@ class MonoSLAM:
     def save_frame_trajectory_tum(self, path: str):
         """Per-frame trajectory from the relative-to-keyframe log (the
         reference records the same relative transforms, Tracking.cc:367-382)."""
+        self.tracker.flush_pipeline()
         with open(path, "w") as f:
             for kf_id, R_rel, t_rel, ts, lost in self.tracker.trajectory:
                 kf = self.map.keyframes.get(kf_id)
@@ -213,6 +221,7 @@ class MonoSLAM:
         id/timestamp/pose/point-indices; we additionally persist the full
         keyframe keypoint payloads so the map is reloadable for
         relocalization, a capability the reference left as TODO)."""
+        self.tracker.flush_pipeline()
         mps = self.map.all_map_points()
         kfs = sorted(self.map.all_keyframes(), key=lambda k: k.id)
         np.savez_compressed(

@@ -34,7 +34,8 @@ class State(enum.Enum):
 
 
 class Tracking:
-    def __init__(self, config, map_: Map, extractor, local_mapper=None, relocalizer=None):
+    def __init__(self, config, map_: Map, extractor, local_mapper=None, relocalizer=None,
+                 pipelined: bool = False):
         self.config = config
         self.map = map_
         self.extractor = extractor
@@ -95,6 +96,27 @@ class Tracking:
         self._frontend = None
         self.n_fused_frames = 0
 
+        # Pipelined mode (opt-in): dispatch frame k's fused device step BEFORE
+        # consuming frame k-1's async-copied results, chaining the pose /
+        # velocity / last-frame point bindings frame-to-frame ON DEVICE
+        # (FusedOut.pos_kp/ok_next/next_local_row). Successive device->host
+        # fetches then overlap device compute, hiding the transfer round-trip
+        # that dominates per-frame wall time on a remote-TPU host (measured
+        # ~29 ms RTT through the axon tunnel vs a 7 ms device step). Poses
+        # return with one frame of latency; the trajectory log is complete
+        # after flush_pipeline()/shutdown. The chain breaks (and the pipeline
+        # drains to a serial frame) whenever the map changed under the
+        # in-flight frame — keyframe insertion, local BA, fuse, loop
+        # correction — so every chained frame computes against the same
+        # device-resident snapshot a serial frame would have seen.
+        self.pipelined = bool(pipelined or getattr(config, "pipelined_tracking", False))
+        self._pending = None  # in-flight frame record or None
+        self._chained = None  # jitted chained frontend
+        self._pend_epoch = -1
+        self._pend_nkf = -1
+        self.n_chained_frames = 0
+        self.n_discarded_chained = 0
+
     # ------------------------------------------------------------------ utils
 
     def _next_key(self):
@@ -118,6 +140,9 @@ class Tracking:
         # the tracker's mImGray each frame, FrameDrawer.cc:183-221); one
         # reference, not a copy — only the CURRENT frame's image is held
         self.current_image = image
+        if self.pipelined:
+            with self.map.update_lock:
+                return self._grab_pipelined(image, timestamp)
         if self._can_fuse():
             with self.map.update_lock:
                 self._grab_fused(image, timestamp)
@@ -272,6 +297,14 @@ class Tracking:
 
         # wider search right after a relocalization (reference Tracking.cc:808)
         th_local = np.float32(5.0 if lf.id + 1 < self.last_reloc_frame_id + 2 else 1.0)
+        # slot->id mapping snapshot taken at DISPATCH time: the pool reuses
+        # freed slots, so in pipelined mode (where the map may mutate between
+        # dispatch and consume — cull frees a slot, triangulation reuses it)
+        # consuming through the live pool.id_of could bind a freshly created
+        # point where the device matched the old occupant. The serial path
+        # reads the same snapshot (nothing changes in between).
+        ids_snap = np.full(L, -1, np.int64)
+        ids_snap[: len(slots)] = pool.id_of[slots]
         # host leaves stay numpy: the multi-stream driver stacks them across
         # streams into ONE host->device transfer (every separate jnp.asarray
         # is its own RPC through the remote-TPU tunnel); the single-stream
@@ -280,7 +313,7 @@ class Tracking:
                 last_pos, last_ok, last_local_row,
                 R_pred, t_pred,
                 pool.dev, slots_padded, self.j_bounds, th_local)
-        aux = (t0, lf, pool, local_kfs, slots, slots_padded, timestamp)
+        aux = (t0, lf, pool, local_kfs, slots, slots_padded, timestamp, ids_snap)
         return args, aux
 
     @staticmethod
@@ -339,7 +372,7 @@ class Tracking:
         """Host phase 2 of the fused path: association bookkeeping, stats,
         fallbacks, keyframe decision. `host` is the fetched tuple of
         _fused_control_outputs. Call under map.update_lock."""
-        (t0, lf, pool, local_kfs, slots, slots_padded, timestamp) = aux
+        (t0, lf, pool, local_kfs, slots, slots_padded, timestamp, ids_snap) = aux
         (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
          assoc, inl2, ninl2, h_valid) = host
 
@@ -383,7 +416,7 @@ class Tracking:
         stage1_ids = set(int(m) for m in f.mp_ids[f.mp_ids >= 0])
         rows2 = np.nonzero(m2v)[0]
         if len(rows2):
-            f.mp_ids[m2_idx[rows2]] = pool.id_of[slots_padded[rows2]]
+            f.mp_ids[m2_idx[rows2]] = ids_snap[rows2]
         self._dedup_mp_ids(f.mp_ids)
         f.outlier = assoc & ~inl2
 
@@ -395,9 +428,8 @@ class Tracking:
             if mp is not None and not mp.bad:
                 mp.n_visible += 1
                 mp.last_frame_seen = f.id
-        id_of = pool.id_of
         for row in np.nonzero(visible[: len(slots)])[0]:
-            mid = int(id_of[slots[row]])
+            mid = int(ids_snap[row])
             if mid < 0 or mid in stage1_ids:
                 continue
             mp = mp_table.get(mid)
@@ -439,6 +471,198 @@ class Tracking:
         else:
             ok = self.matches_inliers >= 30
         self._finish_track(ok, t0)
+
+    # -------------------------------------------------------------- pipelined
+
+    def _last_T(self):
+        """Tcw of the most recent consumed frame (pipelined grab return)."""
+        f = self.current
+        if f is not None and f.pose_set:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = f.Rcw
+            T[:3, 3] = f.tcw
+            return T
+        return None
+
+    def _start_copies(self, out, feats):
+        """Begin async device->host copies of the control outputs; they
+        stream back while the device keeps working on the next frame's
+        dispatch, so the consume-side device_get finds them resident instead
+        of paying a full synchronous round-trip."""
+        ctl = self._fused_control_outputs(out, feats)
+        if not getattr(self, "_no_async_copy", False):
+            try:
+                for a in ctl:
+                    a.copy_to_host_async()
+            except Exception:  # backend without async copies: consume-side
+                self._no_async_copy = True  # device_get still works, just sync
+        return ctl
+
+    def _ensure_chained(self, h: int, w: int):
+        """Jitted chained frontend: like _ensure_frontend, but the motion
+        prediction and the last-frame stage-1 inputs come from the PREVIOUS
+        fused step's device outputs (FusedOut.pos_kp/ok_next/next_local_row)
+        instead of host uploads, so this frame can be dispatched before the
+        previous frame's results are fetched."""
+        if self._chained is None:
+            if self._ensure_frontend(h, w) is None:
+                return None  # non-jittable frontend (e.g. GeoExtractor)
+            from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
+
+            extract_jit = self.extractor._extract_jit(h, w)
+            step = self._fused_step
+
+            @jax.jit
+            def chained(image, p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
+                        pR, pt, ppR, ppt, pool_dev, slots_padded, bounds,
+                        th_local):
+                # constant-velocity prediction on device (host equivalent:
+                # _finish_track's velocity update + _fused_prepare).
+                # so3_project keeps the chained composition from compounding
+                # det(R) drift (the KNOWN_ISSUES frame-14 divergence would
+                # otherwise return through this exact multiply chain).
+                Rv = lie.so3_project(pR @ ppR.T)
+                tv = pt - Rv @ ppt
+                R_pred = lie.so3_project(Rv @ pR)
+                t_pred = Rv @ pt + tv
+                feats = extract_jit(image[None])
+                f1 = jax.tree_util.tree_map(lambda a: a[0], feats)
+                lblock = _pool_gather(*pool_dev, slots_padded)
+                out = step(f1.xy, f1.octave, f1.angle, f1.desc, f1.valid,
+                           p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
+                           R_pred, t_pred, *lblock, bounds, th_local)
+                return out, f1
+
+            self._chained = chained
+        return self._chained
+
+    def _start_pipeline(self, image: np.ndarray, timestamp: float) -> bool:
+        """Pipeline (re)start from fully-consumed host state: the same
+        host-prepared dispatch a _grab_fused frame would issue, left IN
+        FLIGHT (async copies started, nothing fetched). Returns False when
+        the frontend is not jittable, in which case the caller falls back to
+        the synchronous paths."""
+        h, w = image.shape[-2], image.shape[-1]
+        if self._ensure_chained(h, w) is None:
+            return False
+        frontend = self._ensure_frontend(h, w)
+        args, aux = self._fused_prepare(image, timestamp)
+        (_, l_oct, l_angle, l_desc, last_pos, last_ok, last_local_row,
+         R_pred, t_pred, pool_dev, slots_padded, bounds, th_local) = args
+        (t0, lf, pool, local_kfs, slots, _sp, ts, ids_snap) = aux
+        slots_dev = jnp.asarray(slots_padded)
+        out, feats = frontend(
+            jnp.asarray(image), l_oct, l_angle, l_desc,
+            jnp.asarray(last_pos), jnp.asarray(last_ok),
+            jnp.asarray(last_local_row),
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            pool_dev, slots_dev, bounds, th_local)
+        ctl = self._start_copies(out, feats)
+        self._pending = dict(
+            out=out, feats=feats, ctl=ctl, image=image, timestamp=ts, t0=t0,
+            pool=pool, local_kfs=local_kfs, slots=slots,
+            slots_padded=slots_padded, slots_dev=slots_dev,
+            pool_dev=pool_dev, th_local=th_local, ids_snap=ids_snap,
+            ppR=jnp.asarray(lf.Rcw), ppt=jnp.asarray(lf.tcw))
+        self._pend_epoch = self.map.map_epoch
+        self._pend_nkf = self.map.n_keyframes()
+        return True
+
+    def _consume_pending(self):
+        """Fetch + host-consume the in-flight frame (call under
+        map.update_lock). After this self.current/self.last_frame are the
+        consumed frame and the pipeline is empty."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        host = jax.device_get(p["ctl"])
+        # the FrameDrawer pairs tracker.current with current_image: keep them
+        # the SAME frame (the newest fed image may be one ahead)
+        self.current_image = p["image"]
+        aux = (p["t0"], self.last_frame, p["pool"], p["local_kfs"],
+               p["slots"], p["slots_padded"], p["timestamp"], p["ids_snap"])
+        self._fused_consume(aux, p["out"], p["feats"], host)
+        self.last_frame = self.current
+
+    def flush_pipeline(self):
+        """Drain the pipelined tracker. System calls this before shutdown /
+        mode switches / savers so host state (trajectory, map, stats) is
+        current; a no-op when nothing is in flight."""
+        with self.map.update_lock:
+            self._consume_pending()
+
+    def _track_serial(self, image: np.ndarray, timestamp: float):
+        """Synchronous single-frame fallback inside the pipelined mode."""
+        self.current_image = image  # a consume may have rewound it
+        if self._can_fuse():
+            self._grab_fused(image, timestamp)
+        else:
+            self.current = self.build_frame(image, timestamp)
+            self._track()
+        self.last_frame = self.current
+
+    def _grab_pipelined(self, image: np.ndarray, timestamp: float):
+        """Per-frame entry of the pipelined mode (call under
+        map.update_lock). Returns the most recent CONSUMED frame's Tcw —
+        one frame of latency while the pipeline is full; None before
+        initialization or when tracking is lost."""
+        import time
+
+        m = self.map
+        p = self._pending
+        # The chain extends only while the map is exactly as the in-flight
+        # frame saw it: no point mutations (local BA, fuse, culling, loop
+        # correction all mark mp_dirty), no keyframe insertions/erasures, no
+        # reset (map_epoch), not switched to localization mode. Otherwise
+        # drain and restart from host state like a serial frame would.
+        can_chain = (
+            p is not None
+            and not self.localization_only
+            and not m.mp_dirty
+            and m.map_epoch == self._pend_epoch
+            and m.n_keyframes() == self._pend_nkf
+        )
+        if p is not None and not can_chain:
+            self._consume_pending()
+            p = None
+        if p is None:
+            if self._can_fuse() and self._start_pipeline(image, timestamp):
+                return self._last_T()
+            self._track_serial(image, timestamp)
+            return self._last_T()
+
+        # chained dispatch of this frame while the previous one is in flight
+        t0 = time.perf_counter()
+        out, feats = self._chained(
+            jnp.asarray(image),
+            p["feats"].octave, p["feats"].angle, p["feats"].desc,
+            p["out"].pos_kp, p["out"].ok_next, p["out"].next_local_row,
+            p["out"].R, p["out"].t, p["ppR"], p["ppt"],
+            p["pool_dev"], p["slots_dev"], self.j_bounds,
+            np.float32(1.0))
+        ctl = self._start_copies(out, feats)
+        newp = dict(
+            out=out, feats=feats, ctl=ctl, image=image, timestamp=timestamp,
+            t0=t0, pool=p["pool"], local_kfs=p["local_kfs"], slots=p["slots"],
+            slots_padded=p["slots_padded"], slots_dev=p["slots_dev"],
+            pool_dev=p["pool_dev"], th_local=p["th_local"],
+            ids_snap=p["ids_snap"], ppR=p["out"].R, ppt=p["out"].t)
+        self._consume_pending()  # consumes p (the previous frame)
+        if self.state != State.OK or self._stat.get("method") != "fused":
+            # the previous frame was lost / reset / rescued by a FALLBACK
+            # estimator (refkf/reloc): either way its fused outputs — which
+            # the chained dispatch rode as prediction + stage-1 bindings —
+            # were rejected by the host gates. Discard the in-flight result
+            # and re-track this frame synchronously from the retained image.
+            self.n_discarded_chained += 1
+            self._track_serial(image, timestamp)
+            return self._last_T()
+        self.n_chained_frames += 1
+        self._pending = newp
+        self._pend_epoch = m.map_epoch
+        self._pend_nkf = m.n_keyframes()
+        return self._last_T()
 
     # ------------------------------------------------------------------ track
 
@@ -1129,6 +1353,8 @@ class Tracking:
 
     def reset(self):
         """Reference Tracking::Reset (Tracking.cc:1139-1179)."""
+        # drop any in-flight pipelined frame: its chain rode the old map
+        self._pending = None
         self.map.clear()
         if self.local_mapper is not None:
             self.local_mapper.reset()
