@@ -186,7 +186,6 @@ def build_fused_step(config):
         row1 = jnp.full((N + 1,), -1, jnp.int32).at[safe1].set(last_local_row)[:-1]
         row2 = jnp.full((N + 1,), -1, jnp.int32).at[safe2].set(
             jnp.arange(L, dtype=jnp.int32))[:-1]
-        row2 = jnp.where(ok_new, row2, -1)
         next_row = jnp.where(ok_new, row2, jnp.where(bound1, row1, -1))
         next_row = jnp.where(ok_next, next_row, -1)
 

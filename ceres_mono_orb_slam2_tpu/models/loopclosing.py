@@ -413,6 +413,10 @@ class LoopClosing:
         Rcor, tcor, scor = Scw
 
         with m.update_lock:
+            # whole-map pose rewrite begins: any pipelined in-flight frame
+            # was computed against pre-correction geometry and must be
+            # discarded + re-tracked on consume (Map.correction_epoch)
+            m.correction_epoch += 1
             # corrected sim3 for current KF + covisibles via relative SE3
             connected = [kf.id] + list(kf.covisible)
             corrected: Dict[int, tuple] = {}

@@ -145,6 +145,19 @@ class Map:
         # clear() so pools know to drop everything.
         self.mp_dirty: set = set()
         self.map_epoch = 0
+        # bumps on whole-map POSE rewrites (loop correction, GBA apply). The
+        # pipelined tracker discards (and re-tracks) an in-flight frame when
+        # this moved under it: its device outputs mix pre-correction geometry
+        # with post-correction keyframe poses, which would corrupt the
+        # trajectory log and the motion model. Local BA is deliberately NOT a
+        # correction (pose deltas are bounded; the dirty-point chain break
+        # already handles it).
+        self.correction_epoch = 0
+        # culled keyframes' pose relative to their parent at cull time
+        # (reference KeyFrame.cc:543 mTcp): lets trajectory savers/evals
+        # resolve frames whose reference keyframe was later culled by
+        # walking the parent chain (reference MonoORBSlam saver semantics).
+        self.culled_kf_rel: Dict[int, tuple] = {}
 
     def note_mp_dirty(self, mid: int):
         self.mp_dirty.add(mid)
@@ -152,9 +165,27 @@ class Map:
     def note_all_mp_dirty(self):
         """Bulk invalidation after whole-map rewrites (GBA apply, loop
         correction): every live point's device mirror is stale."""
+        self.correction_epoch += 1
         for mid, mp in self.map_points.items():
             if not mp.bad:
                 self.mp_dirty.add(mid)
+
+    def resolve_kf_pose(self, kf_id: int, R_rel, t_rel):
+        """Compose a keyframe-relative pose (frame = T_rel · T_kf) into a
+        world pose, following the culled-keyframe parent chain when kf_id is
+        no longer live (the reference saver walks pKF->mTcp up to a live
+        parent, MonoORBSlam.cc:286-300). Returns (Rcw, tcw) or None."""
+        depth = 0
+        while kf_id not in self.keyframes:
+            rec = self.culled_kf_rel.get(kf_id)
+            if rec is None or depth > 256:
+                return None
+            Rcp, tcp, kf_id = rec
+            t_rel = R_rel @ tcp + t_rel
+            R_rel = R_rel @ Rcp
+            depth += 1
+        kf = self.keyframes[kf_id]
+        return R_rel @ kf.Rcw, R_rel @ kf.tcw + t_rel
 
     # ----- creation / deletion -------------------------------------------------
 
@@ -350,6 +381,14 @@ class Map:
             if par is not None:
                 par.children.discard(kf.id)
         kf.bad = True
+        # record the pose relative to the (re-parented-from) parent so
+        # trajectory entries referencing this keyframe stay resolvable
+        # (reference mTcp = Tcw · parent.Twc, KeyFrame.cc:543)
+        if kf.parent is not None and kf.parent in self.keyframes:
+            par = self.keyframes[kf.parent]
+            Rcp = (kf.Rcw @ par.Rcw.T).astype(np.float32)
+            tcp = (kf.tcw - Rcp @ par.tcw).astype(np.float32)
+            self.culled_kf_rel[kf.id] = (Rcp, tcp, kf.parent)
         if self.keyframe_db is not None:
             self.keyframe_db.erase(kf.id, kf.bow_vec)
         del self.keyframes[kf.id]
@@ -546,4 +585,5 @@ class Map:
         self.next_mp_id = 0
         self.keyframe_origins.clear()
         self.mp_dirty.clear()
+        self.culled_kf_rel.clear()
         self.map_epoch += 1

@@ -133,7 +133,10 @@ class MonoSLAM:
             self.live_viewer.shutdown()
         if self._worker is not None:
             self._worker.join(timeout=2.0)
-        if not self.threaded:
+        # a keyframe enqueued by the pipeline flush above may never have been
+        # handed to the worker (it only wakes on track_monocular's signal):
+        # drain the mapper so the saved map includes its triangulation pass
+        with self.map.update_lock:
             self.local_mapper.process_queue()
         if self.loop_closer is not None and self.loop_closer.gba_thread is not None:
             self.loop_closer.gba_thread.join(timeout=30.0)
@@ -202,11 +205,12 @@ class MonoSLAM:
         self.tracker.flush_pipeline()
         with open(path, "w") as f:
             for kf_id, R_rel, t_rel, ts, lost in self.tracker.trajectory:
-                kf = self.map.keyframes.get(kf_id)
-                if kf is None:
+                # resolve_kf_pose walks the culled-keyframe parent chain like
+                # the reference saver (pKF->mTcp composition)
+                pose = self.map.resolve_kf_pose(kf_id, R_rel, t_rel)
+                if pose is None:
                     continue
-                Rcw = R_rel @ kf.Rcw
-                tcw = R_rel @ kf.tcw + t_rel
+                Rcw, tcw = pose
                 Rwc = Rcw.T
                 twc = -Rwc @ tcw
                 q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))

@@ -114,6 +114,8 @@ class Tracking:
         self._chained = None  # jitted chained frontend
         self._pend_epoch = -1
         self._pend_nkf = -1
+        self._pend_corr = -1
+        self._chain_len = 0
         self.n_chained_frames = 0
         self.n_discarded_chained = 0
 
@@ -566,6 +568,8 @@ class Tracking:
             ppR=jnp.asarray(lf.Rcw), ppt=jnp.asarray(lf.tcw))
         self._pend_epoch = self.map.map_epoch
         self._pend_nkf = self.map.n_keyframes()
+        self._pend_corr = self.map.correction_epoch
+        self._chain_len = 0
         return True
 
     def _consume_pending(self):
@@ -576,10 +580,26 @@ class Tracking:
         if p is None:
             return
         self._pending = None
+        if self.map.correction_epoch != self._pend_corr:
+            # a whole-map pose rewrite (loop correction / GBA apply) landed
+            # under the in-flight frame: its device outputs mix
+            # pre-correction geometry with post-correction keyframe poses —
+            # consuming them would log a garbage relative pose and feed the
+            # motion model an uncorrected prediction. Discard the device
+            # result and re-track the frame synchronously against the
+            # corrected map, exactly like the serial path's first
+            # post-correction frame.
+            self.n_discarded_chained += 1
+            self._track_serial(p["image"], p["timestamp"])
+            return
         host = jax.device_get(p["ctl"])
         # the FrameDrawer pairs tracker.current with current_image: keep them
         # the SAME frame (the newest fed image may be one ahead)
         self.current_image = p["image"]
+        # forward map-point ids replaced by a fuse since dispatch: the serial
+        # path resolves them in _fused_prepare before using last_frame's
+        # bindings (reference CheckReplacedInLastFrame, Tracking.cc:504-517)
+        self._check_replaced_in_last_frame()
         aux = (p["t0"], self.last_frame, p["pool"], p["local_kfs"],
                p["slots"], p["slots_padded"], p["timestamp"], p["ids_snap"])
         self._fused_consume(aux, p["out"], p["feats"], host)
@@ -622,6 +642,12 @@ class Tracking:
             and not m.mp_dirty
             and m.map_epoch == self._pend_epoch
             and m.n_keyframes() == self._pend_nkf
+            and m.correction_epoch == self._pend_corr
+            # bound local-block staleness: chained frames reuse the
+            # pipeline-start candidate block (serial recomputes it per frame
+            # from the previous frame's bindings), so force a refresh restart
+            # — still dispatched in flight — every few frames
+            and self._chain_len < 8
         )
         if p is not None and not can_chain:
             self._consume_pending()
@@ -648,6 +674,11 @@ class Tracking:
             slots_padded=p["slots_padded"], slots_dev=p["slots_dev"],
             pool_dev=p["pool_dev"], th_local=p["th_local"],
             ids_snap=p["ids_snap"], ppR=p["out"].R, ppt=p["out"].t)
+        # guard state at DISPATCH time: mutations caused by the consume below
+        # (keyframe insertion, mapping) must break the chain at the next grab
+        pend_epoch = m.map_epoch
+        pend_nkf = m.n_keyframes()
+        pend_corr = m.correction_epoch
         self._consume_pending()  # consumes p (the previous frame)
         if self.state != State.OK or self._stat.get("method") != "fused":
             # the previous frame was lost / reset / rescued by a FALLBACK
@@ -659,9 +690,11 @@ class Tracking:
             self._track_serial(image, timestamp)
             return self._last_T()
         self.n_chained_frames += 1
+        self._chain_len += 1
         self._pending = newp
-        self._pend_epoch = m.map_epoch
-        self._pend_nkf = m.n_keyframes()
+        self._pend_epoch = pend_epoch
+        self._pend_nkf = pend_nkf
+        self._pend_corr = pend_corr
         return self._last_T()
 
     # ------------------------------------------------------------------ track

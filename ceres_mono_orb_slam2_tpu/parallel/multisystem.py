@@ -57,6 +57,11 @@ class MultiStreamSLAM:
         shared_step = build_fused_step(config)
         ext0 = self.streams[0].extractor
         for s in self.streams:
+            # single-stream pipelining (tracking._grab_pipelined) is
+            # incompatible with track_batch's direct prepare/consume calls
+            # (a pending in-flight frame would never be consumed in order);
+            # the batch itself already amortizes the device round-trips
+            s.tracker.pipelined = False
             s.tracker._fused_step = shared_step
             s.extractor = ext0
             s.tracker.extractor = ext0

@@ -495,3 +495,30 @@ def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True) -> float:
         est = (s * (R @ e0.T)).T + cg
         gt = g0 + cg
     return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=-1))))
+
+
+def trajectory_positions(trajectory, map_, timestamps, poses_Rcw, poses_tcw,
+                         exclude=frozenset()):
+    """Resolve a Tracking.trajectory log (kf-relative poses, the reference's
+    Tracking.cc:367-382 record) into estimated/ground-truth camera centers
+    for ATE evaluation, following culled-keyframe parent chains via
+    Map.resolve_kf_pose. Returns (est (K,3), gt (K,3), tracked_frames) where
+    tracked_frames lists the sequence indices of every non-lost entry
+    (regardless of keyframe resolvability — the frame WAS tracked).
+    `exclude` frames are dropped from est/gt only (e.g. blackout frames)."""
+    ts_arr = np.asarray(timestamps)
+    est, gt, tracked = [], [], []
+    for kf_id, R_rel, t_rel, ts, lost in trajectory:
+        if lost:
+            continue
+        k = int(np.argmin(np.abs(ts_arr - ts)))
+        tracked.append(k)
+        if k in exclude:
+            continue
+        pose = map_.resolve_kf_pose(kf_id, R_rel, t_rel)
+        if pose is None:
+            continue
+        Rcw, tcw = pose
+        est.append(-Rcw.T @ tcw)
+        gt.append(-poses_Rcw[k].T @ poses_tcw[k])
+    return np.asarray(est), np.asarray(gt), tracked

@@ -21,7 +21,8 @@ import numpy as np
 from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
 from ceres_mono_orb_slam2_tpu.utils.config import (
     CameraConfig, ORBConfig, SlamConfig, StaticShapes)
-from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse, make_sequence
+from ceres_mono_orb_slam2_tpu.utils.synthetic import (
+    ate_rmse, make_sequence, trajectory_positions)
 
 
 def _config():
@@ -68,23 +69,12 @@ def test_pipelined_tracks_and_drains():
     # accuracy: same <1% ATE bar as the serial run in test_slam_e2e, from
     # the drained trajectory log (poses return one frame late, so evaluate
     # the log rather than the per-call returns)
-    est, gt = [], []
-    m = slam.map
-    for kf_id, R_rel, t_rel, ts, lost in tr.trajectory:
-        kf = m.keyframes.get(kf_id)
-        if kf is None or lost:
-            continue
-        Rcw = R_rel @ kf.Rcw
-        tcw = R_rel @ kf.tcw + t_rel
-        est.append(-Rcw.T @ tcw)
-        k = int(np.argmin(np.abs(np.asarray(seq.timestamps) - ts)))
-        Rg, tg = seq.poses_Rcw[k], seq.poses_tcw[k]
-        gt.append(-Rg.T @ tg)
-    est, gt = np.stack(est), np.stack(gt)
+    est, gt, _ = trajectory_positions(
+        tr.trajectory, slam.map, seq.timestamps, seq.poses_Rcw, seq.poses_tcw)
     rmse = ate_rmse(est, gt)
     traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     assert rmse < 0.01 * traj_len, (rmse, traj_len)
-    assert m.n_keyframes() >= 3
+    assert slam.map.n_keyframes() >= 3
     assert slam.local_mapper.n_local_ba >= 1
 
 
@@ -103,19 +93,8 @@ def test_pipelined_threaded():
     assert tr.n_discarded_chained == 0
     assert len(tr.frame_stats) >= seq.n_frames - 6
 
-    est, gt = [], []
-    m = slam.map
-    for kf_id, R_rel, t_rel, ts, lost in tr.trajectory:
-        kf = m.keyframes.get(kf_id)
-        if kf is None or lost:
-            continue
-        Rcw = R_rel @ kf.Rcw
-        tcw = R_rel @ kf.tcw + t_rel
-        est.append(-Rcw.T @ tcw)
-        k = int(np.argmin(np.abs(np.asarray(seq.timestamps) - ts)))
-        Rg, tg = seq.poses_Rcw[k], seq.poses_tcw[k]
-        gt.append(-Rg.T @ tg)
-    est, gt = np.stack(est), np.stack(gt)
+    est, gt, _ = trajectory_positions(
+        tr.trajectory, slam.map, seq.timestamps, seq.poses_Rcw, seq.poses_tcw)
     rmse = ate_rmse(est, gt)
     traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     assert rmse < 0.01 * traj_len, (rmse, traj_len)

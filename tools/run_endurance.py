@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=60,
                     help="frames before the zero-recompile assertion window")
     ap.add_argument("--threaded", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="pipelined tracking (one frame of pose latency); "
+                         "ATE/tracked-rate evaluate from the drained "
+                         "trajectory log instead of per-call returns")
     ap.add_argument("--out", default="/tmp/endurance_report.json")
     args = ap.parse_args()
 
@@ -84,7 +88,8 @@ def main():
     voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4, seed=0,
                                docs=corpus)
     print(f"vocabulary: {voc.n_words} words", flush=True)
-    slam = MonoSLAM(cfg, vocabulary=voc, threaded=args.threaded)
+    slam = MonoSLAM(cfg, vocabulary=voc, threaded=args.threaded,
+                    pipelined=args.pipelined)
 
     blackout = set(range(args.blackout, args.blackout + 6)) if args.blackout else set()
     est, gt, times = [], [], []
@@ -111,6 +116,18 @@ def main():
                   f"gba={slam.loop_closer.n_gba_runs} "
                   f"compiles={counter.n} t={times[-1]:.2f}s", flush=True)
     slam.shutdown()
+
+    if args.pipelined:
+        # per-call returns lag one frame while the pipeline is full; evaluate
+        # from the drained trajectory log like tests/test_pipelined.py
+        from ceres_mono_orb_slam2_tpu.utils.synthetic import trajectory_positions
+
+        est, gt, tracked = trajectory_positions(
+            slam.tracker.trajectory, slam.map, seq.timestamps,
+            seq.poses_Rcw, seq.poses_tcw, exclude=blackout)
+        frame_ok = [False] * seq.n_frames
+        for k in tracked:
+            frame_ok[k] = True
 
     est_a, gt_a = np.stack(est), np.stack(gt)
     rmse = ate_rmse(est_a, gt_a)
