@@ -532,6 +532,9 @@ class LoopClosing:
                 mkf.loop_edges.add(kf.id)
                 kf.not_erase = True
                 mkf.not_erase = True
+            # reference InformNewBigChange at the end of CorrectLoop
+            # (LoopClosing.cc:580) — consumed by MonoSLAM.map_changed()
+            m.big_change_idx += 1
 
         # full-map BA: 50 iters, abortable between chunks, side-field write
         # + spanning-tree propagation (reference RunGlobalBundleAdjustment,

@@ -207,4 +207,8 @@ def global_bundle_adjustment(m, config, n_iters: int = 20, fixed_kf_ids=None,
     for mp in mps:
         mp.pos = ptsn[mp_slot[mp.id]]
     m.note_all_mp_dirty()
+    # NO big_change_idx bump here: the reference fires InformNewBigChange
+    # only in the loop-closing GBA wrapper (LoopClosing.cc:741, mirrored by
+    # run_global_ba), not in the core solve — the two-view initializer calls
+    # this directly (Tracking.cc:528) and MapChanged() must not report init.
     return True

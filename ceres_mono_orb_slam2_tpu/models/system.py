@@ -58,6 +58,7 @@ class MonoSLAM:
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper
         self.threaded = threaded
+        self._last_big_change = 0
         self._worker: Optional[threading.Thread] = None
         self._work_q: "queue.Queue[int]" = queue.Queue()
         self._shutdown = False
@@ -140,6 +141,16 @@ class MonoSLAM:
             self.local_mapper.process_queue()
         if self.loop_closer is not None and self.loop_closer.gba_thread is not None:
             self.loop_closer.gba_thread.join(timeout=30.0)
+
+    def map_changed(self) -> bool:
+        """Reference MonoORBSlam::MapChanged (MonoORBSlam.cc:143-151): true
+        once after each big map change (loop correction, global BA apply),
+        tracked against the map's big-change counter (Map.cc:63-71)."""
+        cur = self.map.big_change_idx
+        if self._last_big_change < cur:
+            self._last_big_change = cur
+            return True
+        return False
 
     def get_tracking_state(self) -> str:
         return self.tracker.state.name

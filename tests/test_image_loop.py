@@ -76,6 +76,10 @@ def test_image_level_loop_closure(ring):
     seq, voc = ring
     slam, states, n_tracked, ate_pct = _run(seq, voc, seq.images)
     assert slam.loop_closer.n_loops_closed >= 1
+    # reference MapChanged() semantics: reports true once after the loop's
+    # big change, then false until the next one
+    assert slam.map_changed()
+    assert not slam.map_changed()
     assert n_tracked >= int(0.9 * N_FRAMES), n_tracked
     assert slam.tracker.n_resets == 0
     assert ate_pct < 2.5, ate_pct
