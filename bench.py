@@ -135,6 +135,10 @@ def bench_full_system(n_frames: int = 150, n_streams: int = 1, skip: int = 10,
             slam.track_monocular(seq.images[k], seq.timestamps[k])
             times.append(_time.perf_counter() - t0)
         n_kf = slam.map.n_keyframes()
+        if pipelined:
+            tr = slam.tracker
+            print(f"bench: pipelined chained={tr.n_chained_frames} "
+                  f"discarded={tr.n_discarded_chained}", flush=True)
         slam.shutdown()
     else:
         ms = MultiStreamSLAM(config, n_streams=n_streams, threaded=threaded)

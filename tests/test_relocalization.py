@@ -14,7 +14,10 @@ from ceres_mono_orb_slam2_tpu.utils.synthetic import make_sequence
 
 
 def test_kidnap_relocalization(rng):
-    seq = make_sequence(n_frames=11, seed=11, motion="strafe", step=0.12)
+    # 40-frame render (cached; same world/trajectory prefix as the 11-frame
+    # variant — the world is seeded independently of n_frames): frames 0-10
+    # build the map, the tail exercises full-SLAM resume after load
+    seq = make_sequence(n_frames=40, seed=11, motion="strafe", step=0.12)
     cfg = SlamConfig(
         camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
         orb=ORBConfig(n_features=1500),
@@ -29,7 +32,7 @@ def test_kidnap_relocalization(rng):
 
     slam = MonoSLAM(cfg, vocabulary=voc)
     poses = {}
-    for k in range(seq.n_frames):
+    for k in range(11):
         T = slam.track_monocular(seq.images[k], seq.timestamps[k])
         if T is not None:
             poses[k] = T
@@ -78,6 +81,25 @@ def test_kidnap_relocalization(rng):
             Tk = slam2.track_monocular(seq.images[k], 99.0 + k)
             assert Tk is not None, f"localization-only tracking lost at {k}"
         assert slam2.map.n_keyframes() == n_kfs, "localization mode must not map"
+
+        # full-SLAM RESUME into the loaded map (the reference's "map reusing"
+        # TODO, README.md:46): leave localization mode and extend into
+        # territory the saved map never saw — new keyframes must join the
+        # loaded graph and the resumed trajectory must stay accurate
+        slam2.deactivate_localization_mode()
+        est, gt = [], []
+        for k in range(9, 22):
+            Tk = slam2.track_monocular(seq.images[k], 99.0 + k)
+            assert Tk is not None, f"resume tracking lost at frame {k}"
+            est.append(-Tk[:3, :3].T @ Tk[:3, 3])
+            gt.append(-seq.poses_Rcw[k].T @ seq.poses_tcw[k])
+        assert slam2.map.n_keyframes() > n_kfs, "map did not grow on resume"
+        from ceres_mono_orb_slam2_tpu.utils.synthetic import ate_rmse
+
+        est, gt = np.stack(est), np.stack(gt)
+        traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+        assert ate_rmse(est, gt) < 0.02 * traj_len
+        slam2.shutdown()
 
 
 def test_relocalization_from_coarse_pnp(rng, monkeypatch):
