@@ -117,12 +117,15 @@ class LocalMapping:
         self.recent_points = survivors
 
     def _median_depth(self, kf: KeyFrame) -> float:
-        mp_table = self.map.map_points
-        pos = [mp.pos for mp in (mp_table.get(int(mid)) for mid in kf.mp_ids[kf.mp_ids >= 0])
-               if mp is not None and not mp.bad]
-        if not pos:
+        """Reference ComputeSceneMedianDepth (KeyFrame.cc:555-581). One SoA
+        gather from the map's position table — this runs once per covisible
+        neighbor in CreateNewMapPoints (profiled at ~35 ms/KF as dict walks)."""
+        m = self.map
+        ids = kf.mp_ids[kf.mp_ids >= 0]
+        ids = ids[m.mp_alive[ids]]
+        if len(ids) == 0:
             return -1.0
-        z = np.stack(pos) @ kf.Rcw[2] + kf.tcw[2]
+        z = m.mp_pos[ids] @ kf.Rcw[2] + kf.tcw[2]
         return float(np.median(z))
 
     # fixed neighbor-batch size: the reference caps the covisible window at
@@ -300,6 +303,10 @@ class LocalMapping:
             bounds=(jnp.asarray(m.image_bounds)
                     if m.image_bounds is not None else None), th=th,
         ))
+        # replacements defer the target's distinctive-descriptor recompute
+        # (reference MapPoint::Replace runs it inline, ~0.2 ms each — ~6k
+        # calls/run profiled); one batched refresh covers all touched targets
+        touched = []
         for b, tkf in enumerate(targets):
             for q in np.nonzero(valid[b, :M])[0]:
                 mid = m.resolve(mp_ids[q])
@@ -313,11 +320,15 @@ class LocalMapping:
                     if existing.id == mp.id:
                         continue
                     if existing.n_obs > mp.n_obs:
-                        m.replace_map_point(mp, existing)
+                        m.replace_map_point(mp, existing, refresh=False)
+                        touched.append(existing.id)
                     else:
-                        m.replace_map_point(existing, mp)
+                        m.replace_map_point(existing, mp, refresh=False)
+                        touched.append(mp.id)
                 else:
                     m.add_observation(mp, tkf, kp)
+        if touched:
+            m.refresh_points(touched, self.scale_factors)
 
     def _fuse_into(self, kf: KeyFrame, mp_ids: List[int], th: float = 3.0):
         """Reference ORBmatcher::Fuse (ORBmatcher.cc:724-842) host merge."""
@@ -355,6 +366,7 @@ class LocalMapping:
         )
         vi = np.asarray(valid)
         ii = np.asarray(idx)
+        touched = []
         for q in np.nonzero(vi)[0]:
             mp = m.get_mp(mp_ids[q])
             if mp is None:
@@ -365,13 +377,18 @@ class LocalMapping:
                 existing = m.map_points[existing_id]
                 if existing.id == mp.id:
                     continue
-                # replace the one with fewer observations
+                # replace the one with fewer observations; descriptor refresh
+                # batched below instead of per replace
                 if existing.n_obs > mp.n_obs:
-                    m.replace_map_point(mp, existing)
+                    m.replace_map_point(mp, existing, refresh=False)
+                    touched.append(existing.id)
                 else:
-                    m.replace_map_point(existing, mp)
+                    m.replace_map_point(existing, mp, refresh=False)
+                    touched.append(mp.id)
             else:
                 m.add_observation(mp, kf, kp)
+        if touched:
+            m.refresh_points(touched, self.scale_factors)
 
     # -------------------------------------------------------------- local BA
 
@@ -526,34 +543,46 @@ class LocalMapping:
     def _keyframe_culling(self, kf: KeyFrame):
         """Reference KeyFrameCulling (LocalMapping.cc:576-637): a local KF is
         redundant if >=90% of its map points are seen by >=3 other keyframes
-        at the same or finer scale."""
+        at the same or finer scale. The triple-nested observation walk
+        (profiled ~24 ms/KF of host Python) runs as ragged numpy passes over
+        the map's global observation table; the table rebuilds lazily after
+        an erase (erases mutate subsequent candidates' counts)."""
         m = self.map
+        mid_s = kfid_s = oct_s = None
         for k_id in kf.best_covisible(len(kf.ordered_neighbors)):
             okf = m.keyframes.get(k_id)
             if okf is None or okf.bad or okf.id == 0:
                 continue
-            n_mps = 0
-            n_redundant = 0
-            for i in np.nonzero(okf.mp_ids >= 0)[0]:
-                mp = m.get_mp(int(okf.mp_ids[i]))
-                if mp is None:
-                    continue
-                n_mps += 1
-                if mp.n_obs <= 3:
-                    continue
-                level = int(okf.kp_octave[i])
-                n_better = 0
-                for ok2, kidx2 in mp.observations.items():
-                    if ok2 == okf.id:
-                        continue
-                    kf2 = m.keyframes.get(ok2)
-                    if kf2 is None or kf2.bad:
-                        continue
-                    if int(kf2.kp_octave[kidx2]) <= level + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    n_redundant += 1
+            if mid_s is None:
+                mid_s, kfid_s, oct_s = m._obs_arrays()
+            n_mps, n_redundant = self._redundancy(okf, (mid_s, kfid_s, oct_s))
             if n_mps > 0 and n_redundant > 0.9 * n_mps:
                 m.erase_keyframe(okf)
+                mid_s = None
+
+    def _redundancy(self, okf: KeyFrame, table) -> tuple:
+        """(bound live points, points seen by >=3 other KFs at octave <=
+        level+1) for one cull candidate, over the global observation table."""
+        m = self.map
+        mid_s, kfid_s, oct_s = table
+        rows = np.nonzero(okf.mp_ids >= 0)[0]
+        ids = okf.mp_ids[rows]
+        alive = m.mp_alive[ids]
+        rows, ids = rows[alive], ids[alive]
+        n_mps = len(ids)
+        eligible = np.nonzero(m.mp_nobs[ids] > 3)[0]
+        if n_mps == 0 or len(eligible) == 0:
+            return n_mps, 0
+        eids = ids[eligible]
+        levels = okf.kp_octave[rows[eligible]].astype(np.int32)
+        lo = np.searchsorted(mid_s, eids, "left")
+        cnt = np.searchsorted(mid_s, eids, "right") - lo
+        total = int(cnt.sum())
+        # ragged range expansion: table rows of each point's observations
+        tix = np.repeat(lo, cnt) + (np.arange(total)
+                                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        prow = np.repeat(np.arange(len(eids)), cnt)
+        good = (kfid_s[tix] != okf.id) & (oct_s[tix]
+                                          <= np.repeat(levels, cnt) + 1)
+        n_better = np.bincount(prow[good], minlength=len(eids))
+        return n_mps, int((n_better >= 3).sum())

@@ -40,14 +40,15 @@ _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).
 
 class MapPoint:
     __slots__ = (
-        "id", "pos", "descriptor", "normal", "min_dist", "max_dist",
+        "id", "_pos", "_map", "descriptor", "normal", "min_dist", "max_dist",
         "observations", "ref_kf_id", "first_kf_id", "n_visible", "n_found",
         "bad", "replaced_by", "last_frame_seen",
     )
 
     def __init__(self, mp_id: int, pos: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):
         self.id = mp_id
-        self.pos = pos.astype(np.float32)
+        self._map: Optional["Map"] = None
+        self._pos = pos.astype(np.float32)
         self.descriptor = descriptor.astype(np.uint8)
         self.normal = np.zeros(3, np.float32)
         self.min_dist = 0.0
@@ -60,6 +61,20 @@ class MapPoint:
         self.bad = False
         self.replaced_by: Optional[int] = None
         self.last_frame_seen = -1
+
+    @property
+    def pos(self) -> np.ndarray:
+        return self._pos
+
+    @pos.setter
+    def pos(self, v):
+        # mirror every position write into the Map's SoA table so the hot
+        # readers (_median_depth, keyframe culling, tracked counts) gather
+        # with one fancy-index instead of per-point dict lookups
+        self._pos = np.asarray(v, np.float32)
+        m = self._map
+        if m is not None and self.id < len(m.mp_pos):  # len guards stale
+            m.mp_pos[self.id] = self._pos              # objects after clear()
 
     @property
     def n_obs(self) -> int:
@@ -114,14 +129,14 @@ class KeyFrame:
     def best_covisible(self, n: int) -> List[int]:
         return self.ordered_neighbors[:n]
 
-    def tracked_map_points(self, min_obs: int, mp_table: Dict[int, MapPoint]) -> int:
-        c = 0
-        for mid in self.mp_ids:
-            if mid >= 0:
-                mp = mp_table.get(int(mid))
-                if mp is not None and not mp.bad and mp.n_obs >= min_obs:
-                    c += 1
-        return c
+    def tracked_map_points(self, min_obs: int, map_: "Map") -> int:
+        """Count bound live points with >= min_obs observations (reference
+        KeyFrame::TrackedMapPoints, KeyFrame.cc:265-290). One SoA gather —
+        this runs per frame in the keyframe decision."""
+        ids = self.mp_ids[self.mp_ids >= 0]
+        if len(ids) == 0:
+            return 0
+        return int((map_.mp_alive[ids] & (map_.mp_nobs[ids] >= min_obs)).sum())
 
 
 class Map:
@@ -145,6 +160,14 @@ class Map:
         # clear() so pools know to drop everything.
         self.mp_dirty: set = set()
         self.map_epoch = 0
+        # SoA mirrors of per-point hot state, indexed by map-point id (ids
+        # are sequential). Kept coherent by the MapPoint.pos setter and the
+        # observation-mutating methods below; lets the host hot paths
+        # (_median_depth, tracked_map_points, keyframe-culling redundancy)
+        # replace per-point dict walks with one numpy gather.
+        self.mp_pos = np.zeros((0, 3), np.float32)
+        self.mp_alive = np.zeros(0, bool)
+        self.mp_nobs = np.zeros(0, np.int32)
         # bumps on whole-map POSE rewrites (loop correction, GBA apply). The
         # pipelined tracker discards (and re-tracks) an in-flight frame when
         # this moved under it: its device outputs mix pre-correction geometry
@@ -195,11 +218,27 @@ class Map:
         self.keyframes[kf.id] = kf
         return kf
 
+    def _ensure_mp_cap(self, mid: int):
+        if mid >= len(self.mp_alive):
+            cap = max(1024, 2 * len(self.mp_alive))
+            while cap <= mid:
+                cap *= 2
+            pos = np.zeros((cap, 3), np.float32)
+            alive = np.zeros(cap, bool)
+            nobs = np.zeros(cap, np.int32)
+            n = len(self.mp_alive)
+            pos[:n], alive[:n], nobs[:n] = self.mp_pos, self.mp_alive, self.mp_nobs
+            self.mp_pos, self.mp_alive, self.mp_nobs = pos, alive, nobs
+
     def new_map_point(self, pos, descriptor, ref_kf_id) -> MapPoint:
         mp = MapPoint(self.next_mp_id, pos, descriptor, ref_kf_id)
         self.next_mp_id += 1
         self.map_points[mp.id] = mp
         self.mp_dirty.add(mp.id)
+        self._ensure_mp_cap(mp.id)
+        mp._map = self
+        self.mp_pos[mp.id] = mp._pos
+        self.mp_alive[mp.id] = True
         return mp
 
     def get_mp(self, mid: int) -> Optional[MapPoint]:
@@ -233,6 +272,7 @@ class Map:
             kf.mp_ids[old] = -1
         mp.observations[kf.id] = idx
         kf.mp_ids[idx] = mp.id
+        self.mp_nobs[mp.id] = len(mp.observations)
 
     def erase_observation(self, mp: MapPoint, kf_id: int):
         idx = mp.observations.pop(kf_id, None)
@@ -240,6 +280,7 @@ class Map:
             kf = self.keyframes.get(kf_id)
             if kf is not None and kf.mp_ids[idx] == mp.id:
                 kf.mp_ids[idx] = -1
+            self.mp_nobs[mp.id] = len(mp.observations)
         if mp.n_obs <= 2:
             self.set_bad_map_point(mp)
         elif mp.ref_kf_id == kf_id and mp.observations:
@@ -248,14 +289,19 @@ class Map:
     def set_bad_map_point(self, mp: MapPoint):
         mp.bad = True
         self.mp_dirty.add(mp.id)
+        self.mp_alive[mp.id] = False
+        self.mp_nobs[mp.id] = 0
         for kf_id, idx in list(mp.observations.items()):
             kf = self.keyframes.get(kf_id)
             if kf is not None and kf.mp_ids[idx] == mp.id:
                 kf.mp_ids[idx] = -1
         mp.observations.clear()
 
-    def replace_map_point(self, mp: MapPoint, target: MapPoint):
-        """Reference MapPoint::Replace (MapPoint.cc:199-233)."""
+    def replace_map_point(self, mp: MapPoint, target: MapPoint, refresh: bool = True):
+        """Reference MapPoint::Replace (MapPoint.cc:199-233). `refresh=False`
+        defers the target's distinctive-descriptor recompute so batch callers
+        (the fuse merge loops) can refresh all touched targets in one
+        vectorized refresh_points pass instead of ~0.2 ms per replace."""
         if mp.id == target.id:
             return
         for kf_id, idx in list(mp.observations.items()):
@@ -274,33 +320,79 @@ class Map:
         mp.bad = True
         mp.replaced_by = target.id
         self.mp_dirty.add(mp.id)
-        self.compute_distinctive_descriptor(target)
+        self.mp_alive[mp.id] = False
+        self.mp_nobs[mp.id] = 0
+        self.mp_nobs[target.id] = len(target.observations)
+        if refresh:
+            self.compute_distinctive_descriptor(target)
+
+    def _obs_arrays(self):
+        """Global observation table: flat (map-point id, keyframe id, octave)
+        rows over every live keyframe's bound slots, sorted by map-point id.
+        kf.mp_ids is the exact inverse of mp.observations (add_observation
+        invariant), so the rows are exactly the live observations — built
+        with per-keyframe numpy gathers instead of per-point dict walks."""
+        mids, kfids, octs = [], [], []
+        for okf in self.keyframes.values():
+            if okf.bad:
+                continue
+            rows = np.nonzero(okf.mp_ids >= 0)[0]
+            if len(rows) == 0:
+                continue
+            mids.append(okf.mp_ids[rows])
+            kfids.append(np.full(len(rows), okf.id, np.int64))
+            octs.append(okf.kp_octave[rows].astype(np.int32))
+        if not mids:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.int32)
+        mid = np.concatenate(mids)
+        order = np.argsort(mid, kind="stable")
+        return (mid[order], np.concatenate(kfids)[order],
+                np.concatenate(octs)[order])
 
     def update_connections(self, kf: KeyFrame):
-        """Reference KeyFrame::UpdateConnections (KeyFrame.cc:314-398)."""
+        """Reference KeyFrame::UpdateConnections (KeyFrame.cc:314-398).
+        Shared-point weights count with one sorted-membership pass per live
+        keyframe (the per-point dict walk cost ~2-5 ms x 2-3 calls per
+        keyframe insertion on the single host core)."""
+        ids = kf.mp_ids[kf.mp_ids >= 0]
+        if len(ids):
+            ids = ids[self.mp_alive[ids]]
         counter: Dict[int, int] = {}
-        for mid in kf.mp_ids:
-            if mid < 0:
-                continue
-            mp = self.get_mp(int(mid))
-            if mp is None:
-                continue
-            for okf_id in mp.observations:
-                if okf_id != kf.id:
-                    counter[okf_id] = counter.get(okf_id, 0) + 1
+        if len(ids):
+            ids_sorted = np.sort(ids)
+            for okf in self.keyframes.values():
+                if okf.bad or okf.id == kf.id:
+                    continue
+                oids = okf.mp_ids[okf.mp_ids >= 0]
+                if len(oids) == 0:
+                    continue
+                p = np.searchsorted(ids_sorted, oids)
+                w = int((ids_sorted[np.minimum(p, len(ids_sorted) - 1)] == oids).sum())
+                if w > 0:
+                    counter[okf.id] = w
         if not counter:
             return
-        best_id = max(counter, key=counter.get)
+        # Neighbor ranking is weight desc with ties broken newest-first
+        # (higher id). The reference's tie order is std::map pointer order —
+        # arbitrary; here it must be total and implementation-independent
+        # (host dict insertion order leaked into the graph before), and
+        # newest-first is the robust choice: among equal-weight neighbors a
+        # RECENT keyframe is more likely to share the current view, so the
+        # best_covisible(N) cuts keep the frontier in the tracking local
+        # block (oldest-first ties starved matching mid-sweep on the ring
+        # world: tracking lost at frame ~50/104).
+        best_id = min(counter, key=lambda k: (-counter[k], -k))
         connected = {k: w for k, w in counter.items() if w >= COVIS_TH}
         if not connected:
             connected = {best_id: counter[best_id]}
         kf.covisible = connected
-        kf.ordered_neighbors = sorted(connected, key=connected.get, reverse=True)
+        kf.ordered_neighbors = sorted(connected, key=lambda k: (-connected[k], -k))
         for okf_id, w in connected.items():
             okf = self.keyframes.get(okf_id)
             if okf is not None and not okf.bad:
                 okf.covisible[kf.id] = w
-                okf.ordered_neighbors = sorted(okf.covisible, key=okf.covisible.get, reverse=True)
+                okf.ordered_neighbors = sorted(okf.covisible, key=lambda k, c=okf.covisible: (-c[k], -k))
         # spanning tree: first connection sets the parent
         if kf.parent is None and kf.id != 0:
             kf.parent = best_id
@@ -338,13 +430,15 @@ class Map:
                 mp = self.map_points.get(int(mid))
                 if mp is not None:
                     idx = mp.observations.pop(kf.id, None)
-                    if idx is not None and mp.n_obs <= 2:
-                        self.set_bad_map_point(mp)
+                    if idx is not None:
+                        self.mp_nobs[mp.id] = len(mp.observations)
+                        if mp.n_obs <= 2:
+                            self.set_bad_map_point(mp)
         for okf_id in list(kf.covisible):
             okf = self.keyframes.get(okf_id)
             if okf is not None:
                 okf.covisible.pop(kf.id, None)
-                okf.ordered_neighbors = sorted(okf.covisible, key=okf.covisible.get, reverse=True)
+                okf.ordered_neighbors = sorted(okf.covisible, key=lambda k, c=okf.covisible: (-c[k], -k))
         # re-parent children: greedy, candidates = connected-to-tree set
         candidates = {kf.parent} if kf.parent is not None else set()
         children = set(kf.children)
@@ -462,48 +556,92 @@ class Map:
                 centers[kf.id] = c
             return c
 
-        entries = []  # (mp, [(kf, kp_idx), ...] in observation insertion order)
-        for mid in ids:
-            mp = self.map_points.get(int(mid))
-            if mp is None or mp.bad or not mp.observations:
-                continue
-            obs = []
-            for kf_id, idx in mp.observations.items():
-                kf = self.keyframes.get(kf_id)
-                if kf is not None and not kf.bad:
-                    obs.append((kf, idx))
-            if obs:
-                entries.append((mp, obs))
-        if not entries:
+        # ---- flat observation rows: p (point row), s (slot within point),
+        # desc row, camera center row. Two builders with identical output
+        # shape: the per-point dict walk for small batches, and a per-KEYFRAME
+        # numpy membership pass for large ones (a post-BA refresh touches
+        # thousands of points; the per-observation Python loop was ~20 ms/call
+        # x 4 calls per keyframe on the single host core).
+        uids = np.unique(np.asarray(list(ids), np.int64).ravel()) if not isinstance(ids, np.ndarray) else np.unique(ids)
+        if len(uids) == 0:
             return
+        uids = uids[(uids >= 0) & (uids < len(self.mp_alive))]
+        uids = uids[self.mp_alive[uids]]
+        if len(uids) == 0:
+            return
+        U = len(uids)
+        mps = [self.map_points[int(u)] for u in uids]
+        cnt_all = np.zeros(U, np.int64)
+        p_parts, s_parts, desc_parts, ctr_parts = [], [], [], []
+        if U < 96:
+            for p, mp in enumerate(mps):
+                for kf_id, idx in mp.observations.items():
+                    kf = self.keyframes.get(kf_id)
+                    if kf is None or kf.bad:
+                        continue
+                    p_parts.append(p)
+                    s_parts.append(cnt_all[p])
+                    cnt_all[p] += 1
+                    if descriptors:
+                        desc_parts.append(kf.desc[idx])
+                    ctr_parts.append(center_of(kf))
+            if not p_parts:
+                return
+            p_flat = np.asarray(p_parts, np.int64)
+            s_flat = np.asarray(s_parts, np.int64)
+            desc_flat = np.stack(desc_parts) if descriptors else None
+            ctr_flat = np.stack(ctr_parts)
+        else:
+            # observation order = keyframe-registry order (the reference's
+            # std::map<KeyFrame*,...> is pointer-ordered, i.e. just as
+            # arbitrary); only median tie-breaks can differ
+            for kf in self.keyframes.values():
+                if kf.bad:
+                    continue
+                rows = np.nonzero(kf.mp_ids >= 0)[0]
+                if len(rows) == 0:
+                    continue
+                bids = kf.mp_ids[rows]
+                pp = np.minimum(np.searchsorted(uids, bids), U - 1)
+                hit = uids[pp] == bids
+                if not hit.any():
+                    continue
+                pr, ir = pp[hit], rows[hit]
+                p_parts.append(pr)
+                s_parts.append(cnt_all[pr].copy())
+                cnt_all[pr] += 1
+                if descriptors:
+                    desc_parts.append(kf.desc[ir])
+                ctr_parts.append(np.broadcast_to(center_of(kf), (len(pr), 3)))
+            if not p_parts:
+                return
+            p_flat = np.concatenate(p_parts)
+            s_flat = np.concatenate(s_parts)
+            desc_flat = np.vstack(desc_parts) if descriptors else None
+            ctr_flat = np.vstack(ctr_parts)
 
-        buckets: Dict[int, list] = {}
-        for e in entries:
-            c = len(e[1])
-            k = 1 << max(1, (c - 1).bit_length())
-            buckets.setdefault(k, []).append(e)
+        live = np.nonzero(cnt_all > 0)[0]
+        if len(live) == 0:
+            return
+        kbucket = np.zeros(U, np.int64)
+        kbucket[live] = 1 << np.maximum(
+            1, np.frexp((cnt_all[live] - 1).astype(np.float64))[1])
+        brow = np.zeros(U, np.int64)
+        pK_flat = kbucket[p_flat]
 
-        for K, ents in buckets.items():
-            P = len(ents)
+        for K in np.unique(kbucket[live]):
+            sel = np.nonzero(kbucket == K)[0]
+            brow[sel] = np.arange(len(sel))
+            bmps = [mps[int(q)] for q in sel]
+            P = len(bmps)
+            cnt = cnt_all[sel]
+            pos = self.mp_pos[uids[sel]].astype(np.float64)
             desc = np.zeros((P, K, 32), np.uint8)
             ctr = np.zeros((P, K, 3), np.float64)
-            cnt = np.array([len(o) for _, o in ents], np.int64)
-            pos = np.stack([mp.pos for mp, _ in ents]).astype(np.float64)
-            # group the fills by keyframe: one fancy-index per keyframe
-            by_kf: Dict[int, list] = {}
-            kf_obj: Dict[int, KeyFrame] = {}
-            for p, (mp, obs) in enumerate(ents):
-                for s, (kf, idx) in enumerate(obs):
-                    by_kf.setdefault(kf.id, []).append((p, s, idx))
-                    kf_obj[kf.id] = kf
-            for kf_id, rows in by_kf.items():
-                kf = kf_obj[kf_id]
-                pr = np.fromiter((r[0] for r in rows), np.int64, len(rows))
-                sr = np.fromiter((r[1] for r in rows), np.int64, len(rows))
-                ir = np.fromiter((r[2] for r in rows), np.int64, len(rows))
-                if descriptors:
-                    desc[pr, sr] = kf.desc[ir]
-                ctr[pr, sr] = center_of(kf)
+            fsel = pK_flat == K
+            if descriptors:
+                desc[brow[p_flat[fsel]], s_flat[fsel]] = desc_flat[fsel]
+            ctr[brow[p_flat[fsel]], s_flat[fsel]] = ctr_flat[fsel]
 
             col_valid = np.arange(K)[None, :] < cnt[:, None]
             if descriptors:
@@ -530,7 +668,7 @@ class Map:
             # and octave gathers vectorize (a np.linalg.norm on a 3-vector
             # per point cost ~10 us x thousands of points per keyframe)
             ref_rows: Dict[int, list] = {}
-            for p, (mp, obs) in enumerate(ents):
+            for p, mp in enumerate(bmps):
                 if nobs[p] == 0:
                     continue
                 ref = self.keyframes.get(mp.ref_kf_id)
@@ -555,7 +693,7 @@ class Map:
             if descriptors:
                 best_desc = desc[np.arange(P), best]  # fresh (P, 32) buffer
             normals = (nsum / np.maximum(nobs, 1)[:, None]).astype(np.float32)
-            for p, (mp, obs) in enumerate(ents):
+            for p, mp in enumerate(bmps):
                 if descriptors:
                     mp.descriptor = best_desc[p]
                 if has_ref[p]:
@@ -586,4 +724,7 @@ class Map:
         self.keyframe_origins.clear()
         self.mp_dirty.clear()
         self.culled_kf_rel.clear()
+        self.mp_pos = np.zeros((0, 3), np.float32)
+        self.mp_alive = np.zeros(0, bool)
+        self.mp_nobs = np.zeros(0, np.int32)
         self.map_epoch += 1

@@ -357,7 +357,7 @@ class MonoSLAM:
                 for q in np.nonzero(kf.mp_ids >= 0)[0]:
                     mp = m.map_points.get(int(kf.mp_ids[q]))
                     if mp is not None:
-                        mp.observations[kf.id] = int(q)
+                        m.add_observation(mp, kf, int(q))
             m.next_kf_id = int(kf_ids.max()) + 1 if len(kf_ids) else 0
             if len(kf_ids):
                 # GBA's spanning-tree propagation walks from the origins

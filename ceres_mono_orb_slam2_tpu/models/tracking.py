@@ -858,7 +858,7 @@ class Tracking:
                 if mp is not None:
                     depths.append((kf1_.Rcw @ mp.pos + kf1_.tcw)[2])
         median_depth = float(np.median(depths)) if depths else -1.0
-        if median_depth < 0 or kf2.tracked_map_points(1, m.map_points) < 80:
+        if median_depth < 0 or kf2.tracked_map_points(1, m) < 80:
             log.info("Wrong initialization, reseting...")
             self.reset()
             return
@@ -1206,7 +1206,7 @@ class Tracking:
             return False
         min_obs = 3 if n_kfs > 2 else 2
         ref_kf = m.keyframes.get(self.ref_kf_id)
-        ref_matches = ref_kf.tracked_map_points(min_obs, m.map_points) if ref_kf else 0
+        ref_matches = ref_kf.tracked_map_points(min_obs, m) if ref_kf else 0
         mapper_idle = self.local_mapper.accepting() if self.local_mapper else True
         c1a = self.current.id >= self.last_kf_frame_id() + self.max_frames
         c1b = self.current.id >= self.last_kf_frame_id() + self.min_frames and mapper_idle
