@@ -267,11 +267,12 @@ class LocalMapping:
         B, N = self.FUSE_BATCH, len(targets[0].kp_und)
         M = len(mp_ids)
         Mb = bucket(M)
-        pos = pad_rows(np.stack([m.map_points[mid].pos for mid in mp_ids]), Mb)
-        desc = pad_rows(np.stack([m.map_points[mid].descriptor for mid in mp_ids]), Mb)
-        mind = pad_rows(np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32), Mb)
-        maxd = pad_rows(np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32), Mb)
-        normal = pad_rows(np.stack([m.map_points[mid].normal for mid in mp_ids]), Mb)
+        garr = np.asarray(mp_ids, np.int64)  # one table gather per field
+        pos = pad_rows(m.mp_pos[garr], Mb)
+        desc = pad_rows(m.mp_desc[garr], Mb)
+        mind = pad_rows(m.mp_mind[garr], Mb)
+        maxd = pad_rows(m.mp_maxd[garr], Mb)
+        normal = pad_rows(m.mp_normal[garr], Mb)
 
         R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
         t = np.zeros((B, 3), np.float32)
@@ -339,11 +340,12 @@ class LocalMapping:
             return
         M = len(mp_ids)
         Mb = bucket(M)  # shape bucket: avoid per-call recompiles
-        pos = pad_rows(np.stack([m.map_points[mid].pos for mid in mp_ids]), Mb)
-        desc = pad_rows(np.stack([m.map_points[mid].descriptor for mid in mp_ids]), Mb)
-        mind = pad_rows(np.array([m.map_points[mid].min_dist for mid in mp_ids], np.float32), Mb)
-        maxd = pad_rows(np.array([m.map_points[mid].max_dist for mid in mp_ids], np.float32), Mb)
-        normal = pad_rows(np.stack([m.map_points[mid].normal for mid in mp_ids]), Mb)
+        garr = np.asarray(mp_ids, np.int64)  # one table gather per field
+        pos = pad_rows(m.mp_pos[garr], Mb)
+        desc = pad_rows(m.mp_desc[garr], Mb)
+        mind = pad_rows(m.mp_mind[garr], Mb)
+        maxd = pad_rows(m.mp_maxd[garr], Mb)
+        normal = pad_rows(m.mp_normal[garr], Mb)
         mvalid = np.zeros(Mb, bool)
         mvalid[:M] = True
 
@@ -462,7 +464,7 @@ class LocalMapping:
             fixed[i] = k in fixed_set or k == 0
         pts = np.zeros((MM, 3), np.float32)
         pvalid = np.zeros(MM, bool)
-        pts[: len(mp_ids)] = np.stack([m.map_points[mid].pos for mid in mp_ids])
+        pts[: len(mp_ids)] = m.mp_pos[np.asarray(mp_ids, np.int64)]
         pvalid[: len(mp_ids)] = True
         op = np.zeros(OO, np.int32)
         oj = np.zeros(OO, np.int32)

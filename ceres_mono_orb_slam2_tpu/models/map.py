@@ -40,21 +40,21 @@ _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).
 
 class MapPoint:
     __slots__ = (
-        "id", "_pos", "_map", "descriptor", "normal", "min_dist", "max_dist",
-        "observations", "ref_kf_id", "first_kf_id", "n_visible", "n_found",
-        "bad", "replaced_by", "last_frame_seen",
+        "id", "_pos", "_map", "_descriptor", "_normal", "_min_dist",
+        "_max_dist", "observations", "_ref_kf_id", "first_kf_id",
+        "n_visible", "n_found", "bad", "replaced_by", "last_frame_seen",
     )
 
     def __init__(self, mp_id: int, pos: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):
         self.id = mp_id
         self._map: Optional["Map"] = None
         self._pos = pos.astype(np.float32)
-        self.descriptor = descriptor.astype(np.uint8)
-        self.normal = np.zeros(3, np.float32)
-        self.min_dist = 0.0
-        self.max_dist = 0.0
+        self._descriptor = descriptor.astype(np.uint8)
+        self._normal = np.zeros(3, np.float32)
+        self._min_dist = 0.0
+        self._max_dist = 0.0
         self.observations: Dict[int, int] = {}  # kf_id -> keypoint index
-        self.ref_kf_id = ref_kf_id
+        self._ref_kf_id = ref_kf_id
         self.first_kf_id = ref_kf_id
         self.n_visible = 1
         self.n_found = 1
@@ -62,19 +62,95 @@ class MapPoint:
         self.replaced_by: Optional[int] = None
         self.last_frame_seen = -1
 
+    # Per-point fields live PRIMARILY in the Map's SoA tables (one row per
+    # map-point id) so the hot paths — refresh_points' batched writes, the
+    # fuse/projection gathers, _median_depth — touch one fancy-index instead
+    # of thousands of Python attributes. The properties below keep the
+    # object API identical; the underscore fields are the pre-registration /
+    # stale-after-clear() fallback (every live point is registered via
+    # Map.new_map_point, which copies them into the tables).
+
+    def _row(self):
+        m = self._map
+        if m is not None and self.id < len(m.mp_alive):
+            return m
+        return None
+
     @property
     def pos(self) -> np.ndarray:
         return self._pos
 
     @pos.setter
     def pos(self, v):
-        # mirror every position write into the Map's SoA table so the hot
-        # readers (_median_depth, keyframe culling, tracked counts) gather
-        # with one fancy-index instead of per-point dict lookups
+        # object-primary with table mirror (optimizer readbacks write .pos
+        # per point; keeping the object authoritative avoids view aliasing)
         self._pos = np.asarray(v, np.float32)
-        m = self._map
-        if m is not None and self.id < len(m.mp_pos):  # len guards stale
-            m.mp_pos[self.id] = self._pos              # objects after clear()
+        m = self._row()
+        if m is not None:
+            m.mp_pos[self.id] = self._pos
+
+    @property
+    def descriptor(self) -> np.ndarray:
+        m = self._row()
+        return m.mp_desc[self.id] if m is not None else self._descriptor
+
+    @descriptor.setter
+    def descriptor(self, v):
+        m = self._row()
+        if m is not None:
+            m.mp_desc[self.id] = v
+        else:
+            self._descriptor = np.asarray(v, np.uint8)
+
+    @property
+    def normal(self) -> np.ndarray:
+        m = self._row()
+        return m.mp_normal[self.id] if m is not None else self._normal
+
+    @normal.setter
+    def normal(self, v):
+        m = self._row()
+        if m is not None:
+            m.mp_normal[self.id] = v
+        else:
+            self._normal = np.asarray(v, np.float32)
+
+    @property
+    def min_dist(self) -> float:
+        m = self._row()
+        return float(m.mp_mind[self.id]) if m is not None else self._min_dist
+
+    @min_dist.setter
+    def min_dist(self, v):
+        m = self._row()
+        if m is not None:
+            m.mp_mind[self.id] = v
+        else:
+            self._min_dist = float(v)
+
+    @property
+    def max_dist(self) -> float:
+        m = self._row()
+        return float(m.mp_maxd[self.id]) if m is not None else self._max_dist
+
+    @max_dist.setter
+    def max_dist(self, v):
+        m = self._row()
+        if m is not None:
+            m.mp_maxd[self.id] = v
+        else:
+            self._max_dist = float(v)
+
+    @property
+    def ref_kf_id(self) -> int:
+        return self._ref_kf_id
+
+    @ref_kf_id.setter
+    def ref_kf_id(self, v):
+        self._ref_kf_id = v
+        m = self._row()
+        if m is not None:
+            m.mp_ref[self.id] = v
 
     @property
     def n_obs(self) -> int:
@@ -168,6 +244,11 @@ class Map:
         self.mp_pos = np.zeros((0, 3), np.float32)
         self.mp_alive = np.zeros(0, bool)
         self.mp_nobs = np.zeros(0, np.int32)
+        self.mp_desc = np.zeros((0, 32), np.uint8)
+        self.mp_normal = np.zeros((0, 3), np.float32)
+        self.mp_mind = np.zeros(0, np.float32)
+        self.mp_maxd = np.zeros(0, np.float32)
+        self.mp_ref = np.zeros(0, np.int64)
         # bumps on whole-map POSE rewrites (loop correction, GBA apply). The
         # pipelined tracker discards (and re-tracks) an in-flight frame when
         # this moved under it: its device outputs mix pre-correction geometry
@@ -223,12 +304,21 @@ class Map:
             cap = max(1024, 2 * len(self.mp_alive))
             while cap <= mid:
                 cap *= 2
-            pos = np.zeros((cap, 3), np.float32)
-            alive = np.zeros(cap, bool)
-            nobs = np.zeros(cap, np.int32)
             n = len(self.mp_alive)
-            pos[:n], alive[:n], nobs[:n] = self.mp_pos, self.mp_alive, self.mp_nobs
-            self.mp_pos, self.mp_alive, self.mp_nobs = pos, alive, nobs
+
+            def grow(old, shape, dtype):
+                a = np.zeros(shape, dtype)
+                a[:n] = old
+                return a
+
+            self.mp_pos = grow(self.mp_pos, (cap, 3), np.float32)
+            self.mp_alive = grow(self.mp_alive, cap, bool)
+            self.mp_nobs = grow(self.mp_nobs, cap, np.int32)
+            self.mp_desc = grow(self.mp_desc, (cap, 32), np.uint8)
+            self.mp_normal = grow(self.mp_normal, (cap, 3), np.float32)
+            self.mp_mind = grow(self.mp_mind, cap, np.float32)
+            self.mp_maxd = grow(self.mp_maxd, cap, np.float32)
+            self.mp_ref = grow(self.mp_ref, cap, np.int64)
 
     def new_map_point(self, pos, descriptor, ref_kf_id) -> MapPoint:
         mp = MapPoint(self.next_mp_id, pos, descriptor, ref_kf_id)
@@ -239,6 +329,11 @@ class Map:
         mp._map = self
         self.mp_pos[mp.id] = mp._pos
         self.mp_alive[mp.id] = True
+        self.mp_desc[mp.id] = mp._descriptor
+        self.mp_normal[mp.id] = mp._normal
+        self.mp_mind[mp.id] = mp._min_dist
+        self.mp_maxd[mp.id] = mp._max_dist
+        self.mp_ref[mp.id] = mp._ref_kf_id
         return mp
 
     def get_mp(self, mid: int) -> Optional[MapPoint]:
@@ -573,6 +668,7 @@ class Map:
         mps = [self.map_points[int(u)] for u in uids]
         cnt_all = np.zeros(U, np.int64)
         p_parts, s_parts, desc_parts, ctr_parts = [], [], [], []
+        kf_parts, oct_parts = [], []
         if U < 96:
             for p, mp in enumerate(mps):
                 for kf_id, idx in mp.observations.items():
@@ -585,12 +681,16 @@ class Map:
                     if descriptors:
                         desc_parts.append(kf.desc[idx])
                     ctr_parts.append(center_of(kf))
+                    kf_parts.append(kf_id)
+                    oct_parts.append(int(kf.kp_octave[idx]))
             if not p_parts:
                 return
             p_flat = np.asarray(p_parts, np.int64)
             s_flat = np.asarray(s_parts, np.int64)
             desc_flat = np.stack(desc_parts) if descriptors else None
             ctr_flat = np.stack(ctr_parts)
+            kfid_flat = np.asarray(kf_parts, np.int64)
+            oct_flat = np.asarray(oct_parts, np.int64)
         else:
             # observation order = keyframe-registry order (the reference's
             # std::map<KeyFrame*,...> is pointer-ordered, i.e. just as
@@ -613,12 +713,16 @@ class Map:
                 if descriptors:
                     desc_parts.append(kf.desc[ir])
                 ctr_parts.append(np.broadcast_to(center_of(kf), (len(pr), 3)))
+                kf_parts.append(np.full(len(pr), kf.id, np.int64))
+                oct_parts.append(kf.kp_octave[ir].astype(np.int64))
             if not p_parts:
                 return
             p_flat = np.concatenate(p_parts)
             s_flat = np.concatenate(s_parts)
             desc_flat = np.vstack(desc_parts) if descriptors else None
             ctr_flat = np.vstack(ctr_parts)
+            kfid_flat = np.concatenate(kf_parts)
+            oct_flat = np.concatenate(oct_parts)
 
         live = np.nonzero(cnt_all > 0)[0]
         if len(live) == 0:
@@ -645,9 +749,16 @@ class Map:
 
             col_valid = np.arange(K)[None, :] < cnt[:, None]
             if descriptors:
-                # pairwise Hamming + per-row median over the valid prefix
-                x = desc[:, :, None, :] ^ desc[:, None, :, :]
-                dist = _POPCNT[x].sum(-1, dtype=np.int32)  # (P, K, K)
+                # pairwise Hamming + per-row median over the valid prefix;
+                # hardware popcount over uint64 lanes is ~3x the byte-LUT
+                # gather on this (P, K, K, 32) block
+                if hasattr(np, "bitwise_count"):
+                    d8 = desc.view(np.uint64).reshape(P, K, 4)
+                    x8 = d8[:, :, None, :] ^ d8[:, None, :, :]
+                    dist = np.bitwise_count(x8).sum(-1, dtype=np.int32)
+                else:
+                    x = desc[:, :, None, :] ^ desc[:, None, :, :]
+                    dist = _POPCNT[x].sum(-1, dtype=np.int32)  # (P, K, K)
                 dist = np.where(col_valid[:, None, :], dist, 1 << 20)
                 dist.sort(axis=2)
                 lo = np.take_along_axis(dist, ((cnt - 1) // 2)[:, None, None], axis=2)[..., 0]
@@ -664,43 +775,60 @@ class Map:
             nsum = unit.sum(axis=1)
             nobs = ok.sum(axis=1)
 
-            # ref-KF scale distances, grouped by ref keyframe so the norms
-            # and octave gathers vectorize (a np.linalg.norm on a 3-vector
-            # per point cost ~10 us x thousands of points per keyframe)
-            ref_rows: Dict[int, list] = {}
-            for p, mp in enumerate(bmps):
-                if nobs[p] == 0:
+            # ref-KF scale distances, fully vectorized: ref ids gather from
+            # the mp_ref table; the observation level comes from this
+            # bucket's own flat rows (the row whose keyframe IS the point's
+            # ref); points whose ref went bad fall back to a (rare) repair
+            # loop that reassigns the first live observer.
+            bids = uids[sel]
+            refs = self.mp_ref[bids]
+            live_ids = np.array(
+                [k for k, okf in self.keyframes.items() if not okf.bad],
+                np.int64)
+            live_sorted = np.sort(live_ids) if len(live_ids) else live_ids
+            if len(live_sorted):
+                pq = np.minimum(np.searchsorted(live_sorted, refs),
+                                len(live_sorted) - 1)
+                ref_ok = live_sorted[pq] == refs
+            else:
+                ref_ok = np.zeros(P, bool)
+            for p in np.nonzero(~ref_ok & (nobs > 0))[0]:
+                mp = bmps[int(p)]
+                if not mp.observations:
                     continue
+                mp.ref_kf_id = next(iter(mp.observations))  # table mirror
                 ref = self.keyframes.get(mp.ref_kf_id)
-                if ref is None or ref.bad:
-                    mp.ref_kf_id = next(iter(mp.observations))
-                    ref = self.keyframes.get(mp.ref_kf_id)
-                    if ref is None:
-                        continue
-                ref_rows.setdefault(mp.ref_kf_id, []).append(
-                    (p, mp.observations.get(mp.ref_kf_id, -1)))
+                if ref is not None and not ref.bad:
+                    refs[p] = mp.ref_kf_id
+                    ref_ok[p] = True
+            # bucket rows: match each row's keyframe against its point's ref
+            rp = brow[p_flat[fsel]]
+            rmatch = kfid_flat[fsel] == refs[rp]
             sf = np.asarray(scale_factors, np.float64)
-            max_d = np.zeros(P, np.float64)
-            has_ref = np.zeros(P, bool)
-            for kf_id, rows in ref_rows.items():
-                ref = self.keyframes[kf_id]
-                pr = np.fromiter((r[0] for r in rows), np.int64, len(rows))
-                ir = np.fromiter((r[1] for r in rows), np.int64, len(rows))
-                d = np.linalg.norm(pos[pr] - center_of(ref)[None, :], axis=1)
-                lv = np.where(ir >= 0, ref.kp_octave[np.maximum(ir, 0)], 0)
-                max_d[pr] = d * sf[lv]
-                has_ref[pr] = True
-            if descriptors:
-                best_desc = desc[np.arange(P), best]  # fresh (P, 32) buffer
+            lv = np.zeros(P, np.int64)  # level 0 when the ref isn't an observer
+            lv[rp[rmatch]] = oct_flat[fsel][rmatch]
+            ctr_ref = np.zeros((P, 3), np.float64)
+            seen_ref = np.zeros(P, bool)
+            ctr_ref[rp[rmatch]] = ctr_flat[fsel][rmatch]
+            seen_ref[rp[rmatch]] = True
+            # ref alive but not an observer: its center isn't in the rows
+            for p in np.nonzero(ref_ok & ~seen_ref & (nobs > 0))[0]:
+                ref = self.keyframes.get(int(refs[p]))
+                if ref is not None:
+                    ctr_ref[p] = center_of(ref)
+                    seen_ref[p] = True
+            has_ref = ref_ok & seen_ref & (nobs > 0)
+            d = np.linalg.norm(pos - ctr_ref, axis=1)
+            max_d = d * sf[lv]
             normals = (nsum / np.maximum(nobs, 1)[:, None]).astype(np.float32)
-            for p, mp in enumerate(bmps):
-                if descriptors:
-                    mp.descriptor = best_desc[p]
-                if has_ref[p]:
-                    mp.max_dist = float(max_d[p])
-                    mp.min_dist = mp.max_dist / sf_last
-                    mp.normal = normals[p]
-                self.mp_dirty.add(mp.id)
+            # one fancy-index per field instead of a per-point attribute loop
+            if descriptors:
+                self.mp_desc[bids] = desc[np.arange(P), best]
+            wsel = bids[has_ref]
+            self.mp_maxd[wsel] = max_d[has_ref]
+            self.mp_mind[wsel] = max_d[has_ref] / sf_last
+            self.mp_normal[wsel] = normals[has_ref]
+            self.mp_dirty.update(bids.tolist())
 
     # ----- misc ------------------------------------------------------------------
 
@@ -727,4 +855,11 @@ class Map:
         self.mp_pos = np.zeros((0, 3), np.float32)
         self.mp_alive = np.zeros(0, bool)
         self.mp_nobs = np.zeros(0, np.int32)
+        self.mp_desc = np.zeros((0, 32), np.uint8)
+        self.mp_normal = np.zeros((0, 3), np.float32)
+        self.mp_mind = np.zeros(0, np.float32)
+        self.mp_maxd = np.zeros(0, np.float32)
+        self.mp_ref = np.zeros(0, np.int64)
         self.map_epoch += 1
+        # stale MapPoint objects fall back to their underscore fields after
+        # the tables shrink (MapPoint._row length guard)

@@ -911,14 +911,16 @@ class Tracking:
         to keypoint slots. Returns (pos (N,3), ok (N,))."""
         n = frame.n_kp
         pos = np.zeros((n, 3), np.float32)
-        ok = np.zeros(n, bool)
-        for i in np.nonzero(frame.mp_ids >= 0)[0]:
-            mp = self.map.get_mp(int(frame.mp_ids[i]))
-            if mp is not None:
-                pos[i] = mp.pos
-                ok[i] = True
-            else:
-                frame.mp_ids[i] = -1
+        m = self.map
+        bound = frame.mp_ids >= 0
+        if len(m.mp_alive):
+            safe = np.where(bound, frame.mp_ids, 0)
+            ok = bound & (safe < len(m.mp_alive)) \
+                & m.mp_alive[np.minimum(safe, len(m.mp_alive) - 1)]
+        else:
+            ok = np.zeros(n, bool)
+        frame.mp_ids[bound & ~ok] = -1  # drop dead/stale bindings like get_mp did
+        pos[ok] = m.mp_pos[frame.mp_ids[ok]]
         return pos, ok
 
     def _pose_optimize(self, frame: Frame) -> int:
@@ -1150,14 +1152,14 @@ class Tracking:
             maxd = np.zeros(M, np.float32)
             desc = np.zeros((M, 32), np.uint8)
             cvalid = np.zeros(M, bool)
-            for i, mid in enumerate(cand):
-                mp = self.map.map_points[mid]
-                pos[i] = mp.pos
-                normal[i] = mp.normal
-                mind[i] = mp.min_dist
-                maxd[i] = mp.max_dist
-                desc[i] = mp.descriptor
-                cvalid[i] = True
+            ga = np.asarray(cand, np.int64)  # one table gather per field
+            nC = len(cand)
+            pos[:nC] = self.map.mp_pos[ga]
+            normal[:nC] = self.map.mp_normal[ga]
+            mind[:nC] = self.map.mp_mind[ga]
+            maxd[:nC] = self.map.mp_maxd[ga]
+            desc[:nC] = self.map.mp_desc[ga]
+            cvalid[:nC] = True
             uv, level, viewcos, visible = frustum.frustum_and_scale(
                 jnp.asarray(f.Rcw), jnp.asarray(f.tcw), self.jK, self.j_bounds,
                 jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
@@ -1321,8 +1323,9 @@ class Tracking:
             M = bucket(len(cand_mp))  # shape bucket: avoid per-call recompiles
             mp_pos = np.zeros((M, 3), np.float32)
             mp_desc = np.zeros((M, 32), np.uint8)
-            mp_pos[: len(cand_mp)] = np.stack([self.map.map_points[m].pos for m in cand_mp])
-            mp_desc[: len(cand_mp)] = np.stack([self.map.map_points[m].descriptor for m in cand_mp])
+            ga = np.asarray(cand_mp, np.int64)
+            mp_pos[: len(cand_mp)] = self.map.mp_pos[ga]
+            mp_desc[: len(cand_mp)] = self.map.mp_desc[ga]
             Xc = mp_pos @ f.Rcw.T + f.tcw
             zok = Xc[:, 2] > 1e-6
             zok[len(cand_mp):] = False

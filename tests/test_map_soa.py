@@ -24,6 +24,13 @@ def assert_soa_coherent(m: Map):
         assert m.mp_nobs[mid] == len(mp.observations), mid
         if not mp.bad:
             np.testing.assert_array_equal(m.mp_pos[mid], mp.pos)
+            # phase-2 tables are PRIMARY for these fields; the property must
+            # read the same row the table holds, and ref mirrors the object
+            np.testing.assert_array_equal(m.mp_desc[mid], mp.descriptor)
+            np.testing.assert_array_equal(m.mp_normal[mid], mp.normal)
+            assert float(m.mp_mind[mid]) == mp.min_dist, mid
+            assert float(m.mp_maxd[mid]) == mp.max_dist, mid
+            assert int(m.mp_ref[mid]) == mp.ref_kf_id, mid
 
 
 def naive_tracked(kf, m, min_obs):
