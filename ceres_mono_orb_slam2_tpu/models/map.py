@@ -455,9 +455,19 @@ class Map:
             ids = ids[self.mp_alive[ids]]
         counter: Dict[int, int] = {}
         if len(ids):
+            # candidate observers from the points' own observation dicts
+            # (cheap set union, no per-row numpy); the vectorized membership
+            # pass then runs over those ~10-30 keyframes instead of the whole
+            # registry — scale-independent at KITTI-00 map sizes
+            cand: set = set()
+            mp_table = self.map_points
+            for mid in ids.tolist():
+                cand.update(mp_table[mid].observations)
+            cand.discard(kf.id)
             ids_sorted = np.sort(ids)
-            for okf in self.keyframes.values():
-                if okf.bad or okf.id == kf.id:
+            for okf_id in sorted(cand):  # deterministic counter order
+                okf = self.keyframes.get(okf_id)
+                if okf is None or okf.bad:
                     continue
                 oids = okf.mp_ids[okf.mp_ids >= 0]
                 if len(oids) == 0:
@@ -694,9 +704,24 @@ class Map:
         else:
             # observation order = keyframe-registry order (the reference's
             # std::map<KeyFrame*,...> is pointer-ordered, i.e. just as
-            # arbitrary); only median tie-breaks can differ
-            for kf in self.keyframes.values():
-                if kf.bad:
+            # arbitrary); only median tie-breaks can differ. Candidate
+            # observers are collected from the points' observation dicts so
+            # the membership pass scales with the WINDOW's covisibility, not
+            # the whole keyframe registry (KITTI-00-scale maps).
+            if 4 * U < int(self.mp_alive.sum()):
+                # window refresh: observers collected from the points' dicts
+                # so the pass scales with the window's covisibility
+                cand: set = set()
+                mp_table = self.map_points
+                for u in uids.tolist():
+                    cand.update(mp_table[u].observations)
+                kf_iter = [self.keyframes.get(k) for k in sorted(cand)]
+            else:
+                # bulk refresh (map load, post-GBA): walking every point's
+                # dict costs more than one pass over the registry
+                kf_iter = list(self.keyframes.values())
+            for kf in kf_iter:
+                if kf is None or kf.bad:
                     continue
                 rows = np.nonzero(kf.mp_ids >= 0)[0]
                 if len(rows) == 0:
