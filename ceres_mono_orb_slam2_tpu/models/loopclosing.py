@@ -203,13 +203,14 @@ class LoopClosing:
         normal = np.zeros((Mb, 3), np.float32)
         ok = np.zeros(Mb, bool)
         garr = np.asarray(mp_ids, np.int64)  # table gathers, masked by alive
-        ok[:M] = (garr >= 0) & (garr < len(m.mp_alive))
-        safe = np.where(ok[:M], garr, 0)
-        ok[:M] &= m.mp_alive[safe]
-        pos[:M] = m.mp_pos[safe]
-        desc[:M] = m.mp_desc[safe]
-        mind[:M], maxd[:M] = m.mp_mind[safe], m.mp_maxd[safe]
-        normal[:M] = m.mp_normal[safe]
+        if len(m.mp_alive):  # guard: map cleared under a concurrent reset
+            ok[:M] = (garr >= 0) & (garr < len(m.mp_alive))
+            safe = np.where(ok[:M], garr, 0)
+            ok[:M] &= m.mp_alive[safe]
+            pos[:M] = m.mp_pos[safe]
+            desc[:M] = m.mp_desc[safe]
+            mind[:M], maxd[:M] = m.mp_mind[safe], m.mp_maxd[safe]
+            normal[:M] = m.mp_normal[safe]
         Xc = scw * (pos @ np.asarray(Rcw).T) + np.asarray(tcw)
         z = Xc[:, 2]
         ok &= z > 0

@@ -40,7 +40,7 @@ _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).
 
 class MapPoint:
     __slots__ = (
-        "id", "_pos", "_map", "_descriptor", "_normal", "_min_dist",
+        "id", "_pos", "_map", "_epoch", "_descriptor", "_normal", "_min_dist",
         "_max_dist", "observations", "_ref_kf_id", "first_kf_id",
         "n_visible", "n_found", "bad", "replaced_by", "last_frame_seen",
     )
@@ -48,6 +48,7 @@ class MapPoint:
     def __init__(self, mp_id: int, pos: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):
         self.id = mp_id
         self._map: Optional["Map"] = None
+        self._epoch = -1
         self._pos = pos.astype(np.float32)
         self._descriptor = descriptor.astype(np.uint8)
         self._normal = np.zeros(3, np.float32)
@@ -71,8 +72,11 @@ class MapPoint:
     # Map.new_map_point, which copies them into the tables).
 
     def _row(self):
+        # epoch check: after Map.clear() the tables regrow for NEW points
+        # with the same ids; a stale object must not alias their rows
         m = self._map
-        if m is not None and self.id < len(m.mp_alive):
+        if m is not None and m.map_epoch == self._epoch \
+                and self.id < len(m.mp_alive):
             return m
         return None
 
@@ -327,6 +331,7 @@ class Map:
         self.mp_dirty.add(mp.id)
         self._ensure_mp_cap(mp.id)
         mp._map = self
+        mp._epoch = self.map_epoch
         self.mp_pos[mp.id] = mp._pos
         self.mp_alive[mp.id] = True
         self.mp_desc[mp.id] = mp._descriptor
@@ -758,6 +763,8 @@ class Map:
         brow = np.zeros(U, np.int64)
         pK_flat = kbucket[p_flat]
 
+        live_kf_sorted = np.sort(np.array(
+            [k for k, okf in self.keyframes.items() if not okf.bad], np.int64))
         for K in np.unique(kbucket[live]):
             sel = np.nonzero(kbucket == K)[0]
             brow[sel] = np.arange(len(sel))
@@ -807,10 +814,7 @@ class Map:
             # loop that reassigns the first live observer.
             bids = uids[sel]
             refs = self.mp_ref[bids]
-            live_ids = np.array(
-                [k for k, okf in self.keyframes.items() if not okf.bad],
-                np.int64)
-            live_sorted = np.sort(live_ids) if len(live_ids) else live_ids
+            live_sorted = live_kf_sorted
             if len(live_sorted):
                 pq = np.minimum(np.searchsorted(live_sorted, refs),
                                 len(live_sorted) - 1)

@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # force CPU: the axon sitecustomize pre-sets JAX_PLATFORMS=axon, and the
 # first jnp constant (ops/matcher.py import) would hang on a dead tunnel
 os.environ["JAX_PLATFORMS"] = "cpu"
