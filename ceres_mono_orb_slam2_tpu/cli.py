@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--synthetic", type=int, default=0, help="run on N synthetic frames instead of --images")
     ap.add_argument("--localization", action="store_true", help="localization-only mode")
+    ap.add_argument("--load-map", help="load a previously saved map.npz before "
+                    "tracking (pairs with --localization to relocalize against "
+                    "a prebuilt map; the reference lists LoadMap as a TODO, "
+                    "MonoORBSlam.h:78-81)")
     ap.add_argument("--viewer", action="store_true", help="save periodic map snapshots")
     ap.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
                     help="serve the interactive map/frame viewer with the "
@@ -100,6 +104,8 @@ def main(argv=None):
     slam = MonoSLAM(config, vocabulary=vocabulary, use_viewer=args.viewer,
                     threaded=args.threaded, live_viewer_port=args.live_viewer,
                     pipelined=args.pipelined)
+    if args.load_map:
+        slam.load_map(args.load_map)
     if args.localization:
         slam.activate_localization_mode()
 

@@ -139,8 +139,13 @@ class MonoSLAM:
         # drain the mapper so the saved map includes its triangulation pass
         with self.map.update_lock:
             self.local_mapper.process_queue()
-        if self.loop_closer is not None and self.loop_closer.gba_thread is not None:
-            self.loop_closer.gba_thread.join(timeout=30.0)
+        # ...and the loop closer (outside the map lock — it takes the lock
+        # itself): a loop detectable on that final keyframe must correct the
+        # map BEFORE the savers persist it
+        if self.loop_closer is not None:
+            self.loop_closer.process_queue()
+            if self.loop_closer.gba_thread is not None:
+                self.loop_closer.gba_thread.join(timeout=30.0)
 
     def map_changed(self) -> bool:
         """Reference MonoORBSlam::MapChanged (MonoORBSlam.cc:143-151): true

@@ -110,11 +110,8 @@ class Tracking:
         # correction — so every chained frame computes against the same
         # device-resident snapshot a serial frame would have seen.
         self.pipelined = bool(pipelined or getattr(config, "pipelined_tracking", False))
-        self._pending = None  # in-flight frame record or None
-        self._chained = None  # jitted chained frontend
-        self._pend_epoch = -1
-        self._pend_nkf = -1
-        self._pend_corr = -1
+        self._pending = None  # in-flight frame record or None (carries its
+        self._chained = None  # own chain guards: epoch/nkf/corr at dispatch)
         self._chain_len = 0
         self.n_chained_frames = 0
         self.n_discarded_chained = 0
@@ -418,7 +415,20 @@ class Tracking:
         stage1_ids = set(int(m) for m in f.mp_ids[f.mp_ids >= 0])
         rows2 = np.nonzero(m2v)[0]
         if len(rows2):
-            f.mp_ids[m2_idx[rows2]] = ids_snap[rows2]
+            # ids_snap is dispatch-time state: in pipelined mode a point may
+            # have been fused (Replace'd) between dispatch and this consume —
+            # forward dead ids so the frame (and any keyframe created from
+            # it) binds the replacement, like the serial path's fresh snapshot
+            ids2 = np.asarray(ids_snap[rows2], np.int64)
+            alive_tab = self.map.mp_alive
+            if len(alive_tab):
+                dead = (ids2 >= len(alive_tab)) | ~alive_tab[np.minimum(ids2, len(alive_tab) - 1)]
+                if dead.any():
+                    ids2 = ids2.copy()
+                    for q in np.nonzero(dead)[0]:
+                        ids2[q] = self.map.resolve(int(ids2[q]))
+            keep2 = ids2 >= 0
+            f.mp_ids[m2_idx[rows2[keep2]]] = ids2[keep2]
         self._dedup_mp_ids(f.mp_ids)
         f.outlier = assoc & ~inl2
 
@@ -496,8 +506,11 @@ class Tracking:
             try:
                 for a in ctl:
                     a.copy_to_host_async()
-            except Exception:  # backend without async copies: consume-side
-                self._no_async_copy = True  # device_get still works, just sync
+            except Exception as e:  # backend without async copies: consume-
+                self._no_async_copy = True  # side device_get still works, sync
+                log.warning("async device->host copies disabled for this "
+                            "session (%s); consume falls back to synchronous "
+                            "fetches", e)
         return ctl
 
     def _ensure_chained(self, h: int, w: int):
@@ -560,15 +573,16 @@ class Tracking:
             jnp.asarray(R_pred), jnp.asarray(t_pred),
             pool_dev, slots_dev, bounds, th_local)
         ctl = self._start_copies(out, feats)
+        import time as _time
         self._pending = dict(
             out=out, feats=feats, ctl=ctl, image=image, timestamp=ts, t0=t0,
+            disp_s=_time.perf_counter() - t0,
             pool=pool, local_kfs=local_kfs, slots=slots,
             slots_padded=slots_padded, slots_dev=slots_dev,
             pool_dev=pool_dev, th_local=th_local, ids_snap=ids_snap,
-            ppR=jnp.asarray(lf.Rcw), ppt=jnp.asarray(lf.tcw))
-        self._pend_epoch = self.map.map_epoch
-        self._pend_nkf = self.map.n_keyframes()
-        self._pend_corr = self.map.correction_epoch
+            ppR=jnp.asarray(lf.Rcw), ppt=jnp.asarray(lf.tcw),
+            epoch=self.map.map_epoch, nkf=self.map.n_keyframes(),
+            corr=self.map.correction_epoch)
         self._chain_len = 0
         return True
 
@@ -580,7 +594,7 @@ class Tracking:
         if p is None:
             return
         self._pending = None
-        if self.map.correction_epoch != self._pend_corr:
+        if self.map.correction_epoch != p["corr"]:
             # a whole-map pose rewrite (loop correction / GBA apply) landed
             # under the in-flight frame: its device outputs mix
             # pre-correction geometry with post-correction keyframe poses —
@@ -596,11 +610,16 @@ class Tracking:
         # the FrameDrawer pairs tracker.current with current_image: keep them
         # the SAME frame (the newest fed image may be one ahead)
         self.current_image = p["image"]
+        # track_ms = this frame's dispatch cost + its consume (fetch + host)
+        # cost — NOT the dispatch-to-consume wall interval, which includes
+        # the caller's inter-frame idle and would make --stats-out useless
+        import time as _time
+        t0_adj = _time.perf_counter() - p.get("disp_s", 0.0)
         # forward map-point ids replaced by a fuse since dispatch: the serial
         # path resolves them in _fused_prepare before using last_frame's
         # bindings (reference CheckReplacedInLastFrame, Tracking.cc:504-517)
         self._check_replaced_in_last_frame()
-        aux = (p["t0"], self.last_frame, p["pool"], p["local_kfs"],
+        aux = (t0_adj, self.last_frame, p["pool"], p["local_kfs"],
                p["slots"], p["slots_padded"], p["timestamp"], p["ids_snap"])
         self._fused_consume(aux, p["out"], p["feats"], host)
         self.last_frame = self.current
@@ -640,9 +659,9 @@ class Tracking:
             p is not None
             and not self.localization_only
             and not m.mp_dirty
-            and m.map_epoch == self._pend_epoch
-            and m.n_keyframes() == self._pend_nkf
-            and m.correction_epoch == self._pend_corr
+            and m.map_epoch == p["epoch"]
+            and m.n_keyframes() == p["nkf"]
+            and m.correction_epoch == p["corr"]
             # bound local-block staleness: chained frames reuse the
             # pipeline-start candidate block (serial recomputes it per frame
             # from the previous frame's bindings), so force a refresh restart
@@ -676,9 +695,10 @@ class Tracking:
             ids_snap=p["ids_snap"], ppR=p["out"].R, ppt=p["out"].t)
         # guard state at DISPATCH time: mutations caused by the consume below
         # (keyframe insertion, mapping) must break the chain at the next grab
-        pend_epoch = m.map_epoch
-        pend_nkf = m.n_keyframes()
-        pend_corr = m.correction_epoch
+        newp["epoch"] = m.map_epoch
+        newp["nkf"] = m.n_keyframes()
+        newp["corr"] = m.correction_epoch
+        newp["disp_s"] = time.perf_counter() - t0
         self._consume_pending()  # consumes p (the previous frame)
         if self.state != State.OK or self._stat.get("method") != "fused":
             # the previous frame was lost / reset / rescued by a FALLBACK
@@ -692,9 +712,6 @@ class Tracking:
         self.n_chained_frames += 1
         self._chain_len += 1
         self._pending = newp
-        self._pend_epoch = pend_epoch
-        self._pend_nkf = pend_nkf
-        self._pend_corr = pend_corr
         return self._last_T()
 
     # ------------------------------------------------------------------ track
