@@ -13,6 +13,7 @@ throughput number; SURVEY.md §6).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -204,6 +205,25 @@ def _pick_platform(probe_timeout: float = 240.0) -> str:
     return "cpu"
 
 
+def bench_host_map_insertion() -> float:
+    """Host-side per-keyframe bookkeeping at KITTI-00 map scale (pure
+    numpy/python — no device): build a 600-KF / ~90k-point graph through the
+    Map mutation API (observations, covisibility, SoA tables) and report
+    ms per keyframe insertion. Guards the host layer the way the fps rows
+    guard the device path."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench_host_map", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "tools", "bench_host_map.py"))
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    mod.build_map(600, 150, 2000, rng)
+    return (time.perf_counter() - t0) / 600 * 1e3
+
+
 def main():
     platform = _pick_platform()
     cpu = platform == "cpu"
@@ -217,6 +237,7 @@ def main():
     full1p = _try(bench_full_system, n_streams=1, pipelined=True,
                   n_frames=40 if cpu else 150)
     full8 = None if cpu else _try(bench_full_system, n_streams=8)
+    host_kf_ms = _try(bench_host_map_insertion)
     sys_fps, sys_fps_agg = (full1[0], full1[1]) if full1 else (None, None)
     sys_fpsp, sys_fpsp_agg = (full1p[0], full1p[1]) if full1p else (None, None)
     sys_fps8, sys_fps8_agg = (full8[0], full8[1]) if full8 else (None, None)
@@ -234,6 +255,7 @@ def main():
             "full_system_fps_8stream": _r(sys_fps8),
             "full_system_fps_8stream_aggregate": _r(sys_fps8_agg),
             "full_system_shape": "real MonoSLAM / MultiStreamSLAM (threaded, like the reference's thread split) over a rendered 480x640 sequence, 1500 features; median per-frame wall fps + aggregate, first 10 frames (compile+init) excluded",
+            "host_map_ms_per_kf_at_600kf": _r(host_kf_ms),
             "local_ba_ms_per_solve": _r(ba_ms),
             "local_ba_shape": "16 KFs (12 free), 2048 pts, 8192 obs, 5 Huber + 10 trimmed iters",
             "baseline": "KITTI real-time pacing 15 fps (configs/KITTI00-02.yaml); reference publishes no throughput numbers",
