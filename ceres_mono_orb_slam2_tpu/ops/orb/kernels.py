@@ -291,10 +291,15 @@ def gather_patches_pallas(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     B, H, W = img.shape
     S = 2 * radius + 1
     WIN = 256
+    # DMA window rows: Mosaic requires HBM slice shapes (and in practice
+    # bases) on the second-minor dim aligned to the 8-sublane tile, and the
+    # bf16 VMEM scratch wants 16-row tiles — so align the row base DOWN to 8
+    # and copy a 16-aligned band that covers base-offset (<8) + S rows.
+    SD = -(-(S + 8) // 16) * 16
     n = ys.shape[1]
     n_pad = -(-n // kpb) * kpb
     Wp = (-(-W // 128) + 2) * 128  # floor128(x-r)+256 stays in bounds
-    imgp = jnp.pad(img.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, Wp - W)))
+    imgp = jnp.pad(img.astype(jnp.bfloat16), ((0, 0), (0, SD), (0, Wp - W)))
     ysp = jnp.pad(ys.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
                   constant_values=radius)
     xsp = jnp.pad(xs.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
@@ -304,27 +309,45 @@ def gather_patches_pallas(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
         b = pl.program_id(0)
         t = pl.program_id(1)
         offs = []
+        roffs = []
         dmas = []
         for j in range(kpb):
             k = t * kpb + j
             y = ys_ref[b, k]
             x = xs_ref[b, k]
+            ya = ((y - radius) // 8) * 8
             xa = ((x - radius) // 128) * 128
+            roffs.append(y - radius - ya)
             offs.append(x - radius - xa)
             dma = pltpu.make_async_copy(
-                img_ref.at[b, pl.ds(y - radius, S), pl.ds(xa, WIN)],
+                img_ref.at[b, pl.ds(ya, SD), pl.ds(xa, WIN)],
                 buf.at[j], sems.at[j])
             dma.start()
             dmas.append(dma)
-        off = jnp.stack(offs)  # (kpb,) in [0, 128)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (kpb, WIN, S), 1)
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (kpb, WIN, S), 2)
-        onehot = (c_iota == off[:, None, None] + s_iota).astype(jnp.bfloat16)
-        for dma in dmas:
-            dma.wait()
-        out_ref[:] = jax.lax.dot_general(
-            buf[:], onehot, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (kpb, S, S)
+        # Per-keypoint 2D one-hots + two 2D dots (row select, then column
+        # select): Mosaic cannot relayout a (kpb,) lane vector into a
+        # (kpb,1,1) sublane broadcast ("unsupported shape cast" on real TPU
+        # hardware — interpret mode accepted it), and a batch-dim dot_general
+        # iterates the MXU per batch element anyway, so the unrolled
+        # scalar-broadcast form costs the same and compiles.
+        rs = jax.lax.broadcasted_iota(jnp.int32, (S, SD), 0)
+        rd = jax.lax.broadcasted_iota(jnp.int32, (S, SD), 1)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, S), 0)
+        s2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, S), 1)
+        for j in range(kpb):
+            # all-f32 matmuls: this Mosaic rejects bf16 operands with an f32
+            # accumulator ("Bad lhs type"); the DMA stays bf16 (the HBM
+            # traffic is the point), converted on the VPU after the wait
+            rowsel = (rd == roffs[j] + rs).astype(jnp.float32)  # (S, SD)
+            colsel = (c2 == offs[j] + s2).astype(jnp.float32)  # (WIN, S)
+            dmas[j].wait()
+            band = buf[j].astype(jnp.float32)  # (SD, WIN)
+            rows = jax.lax.dot_general(
+                rowsel, band, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (S, WIN)
+            out_ref[j] = jax.lax.dot_general(
+                rows, colsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (S, S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -332,7 +355,7 @@ def gather_patches_pallas(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, kpb, S, S), lambda b, t, *_: (b, t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((kpb, S, WIN), jnp.bfloat16),
+            pltpu.VMEM((kpb, SD, WIN), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((kpb,)),
         ],
     )
