@@ -40,7 +40,11 @@ if not _os.environ.get("CERES_TPU_NO_COMPILE_CACHE"):
     _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # cache EVERYTHING: steady-state bucket-growth compiles are 0.1-3 s
+        # each and there are dozens per session — all must amortize to zero
+        # across runs (the reference compiles once at build time)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # older jax without the knobs: run uncached
         pass
 

@@ -115,7 +115,7 @@ class Frame:
     @property
     def j_bits(self):
         if self._j_bits is None:
-            self._j_bits = matcher.unpack_bits_pm1(self.j_desc)
+            self._j_bits = matcher.unpack_u8(self.j_desc)
         return self._j_bits
 
     @property

@@ -25,6 +25,28 @@ from ceres_mono_orb_slam2_tpu.utils.padding import bucket, pad_rows
 log = logging.getLogger(__name__)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_levels", "th"))
+def _fuse_into_device(Rcw, tcw, K, bounds, pos, normal, mind, maxd, desc_u8,
+                      mvalid, kp_und, kp_octave, kf_desc_u8, kp_valid,
+                      log_scale, scale_factors, inv_sigma2, n_levels, th):
+    """Reverse-fuse device phase as ONE dispatch: frustum + scale prediction
+    + projection search (reference ORBmatcher::Fuse, ORBmatcher.cc:724-842).
+    Composing frustum_and_scale / unpack / search_fuse eagerly cost 3
+    dispatches + 6 eager-op compiles per descriptor-block shape."""
+    from ceres_mono_orb_slam2_tpu.ops import frustum as frustum_ops
+
+    uv, level, viewcos, visible = frustum_ops.frustum_and_scale(
+        Rcw, tcw, K, bounds, pos, normal, mind, maxd, mvalid,
+        log_scale, n_levels)
+    return matcher.search_fuse(
+        kp_und, kp_octave, matcher.unpack_bits_pm1(kf_desc_u8), kp_valid,
+        uv, level, matcher.unpack_bits_pm1(desc_u8), visible,
+        scale_factors, th=th, inv_level_sigma2=inv_sigma2)
+
+
 class LocalMapping:
     def __init__(self, config, map_: Map, loop_closer=None):
         self.config = config
@@ -70,17 +92,59 @@ class LocalMapping:
     # ------------------------------------------------------------- pipeline
 
     def _process(self, kf: KeyFrame):
-        self._process_new_keyframe(kf)
-        self._map_point_culling(kf)
+        # Per-STAGE map locking: the reference interleaves Tracking with
+        # LocalMapping at per-object mutex granularity (KeyFrame.h:223-225,
+        # Map.h:59); holding map.update_lock across the whole ~0.5 s mapping
+        # pass blocked the tracker for exactly that long on every keyframe
+        # frame (the measured keyframe-frame stall). Each stage sees a
+        # consistent map; between stages the tracker may track frames and
+        # even insert a keyframe — the `self.queue` checks below then skip
+        # the tail stages exactly like the reference's CheckNewKeyFrames
+        # mid-loop exits (LocalMapping.cc:84-88).
+        # The heavy stages additionally RELEASE the lock around their device
+        # solve (prep under lock -> dispatch+fetch unlocked -> apply under
+        # lock with staleness guards), so a tracked frame never waits behind
+        # a mapper device round-trip. Tracking never mutates keyframe poses,
+        # map-point positions, or existing keyframes' bindings — the only
+        # tracker-side mutations (per-point stats, NEW keyframes) are exactly
+        # what the apply-phase guards already re-check.
+        L = self.map.update_lock
+        with L:
+            epoch = self.map.map_epoch
+            self._process_new_keyframe(kf)
+            self._map_point_culling(kf)
+        if self._pass_stale(kf, epoch):
+            return
         self._create_new_map_points(kf)
+        if self._pass_stale(kf, epoch):
+            return
         if not self.queue:
-            self._search_in_neighbors(kf)
+            self._search_in_neighbors(kf, epoch)
         self.abort_ba = False
+        if self._pass_stale(kf, epoch):
+            return
         if not self.queue and self.map.n_keyframes() > 2:
             self._local_bundle_adjustment(kf)
-            self._keyframe_culling(kf)
+            if self._pass_stale(kf, epoch):
+                return
+            with L:
+                if not self._pass_stale_locked(kf, epoch):
+                    self._keyframe_culling(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf.id)
+
+    def _pass_stale_locked(self, kf: KeyFrame, epoch: int) -> bool:
+        """True if a reset (map_epoch bump) or a cull invalidated this mapping
+        pass between stages. Caller holds map.update_lock. The reference's
+        analogue is per-stage CheckNewKeyFrames/ResetIfRequested exits
+        (LocalMapping.cc:84-105, 760-775); with per-stage locking a Reset can
+        land BETWEEN stages, after which `kf` references freed SoA rows."""
+        return self.map.map_epoch != epoch or kf.bad \
+            or kf.id not in self.map.keyframes
+
+    def _pass_stale(self, kf: KeyFrame, epoch: int) -> bool:
+        with self.map.update_lock:
+            return self._pass_stale_locked(kf, epoch)
 
     def _process_new_keyframe(self, kf: KeyFrame):
         """Reference ProcessNewKeyFrame (LocalMapping.cc:129-165)."""
@@ -141,72 +205,85 @@ class LocalMapping:
         from ceres_mono_orb_slam2_tpu.ops import mapping_batch
 
         m = self.map
-        O1 = kf.camera_center()
-        # host gates per neighbor (reference :222-234): real baseline vs
-        # median scene depth
-        nb_kfs = []
-        for nb_id in kf.best_covisible(20):
-            kf2 = m.keyframes.get(nb_id)
-            if kf2 is None or kf2.bad:
-                continue
-            baseline = float(np.linalg.norm(kf2.camera_center() - O1))
-            med_depth = self._median_depth(kf2)
-            if med_depth <= 0 or baseline / med_depth < 0.01:
-                continue
-            nb_kfs.append(kf2)
-        if not nb_kfs:
-            return
-        nb_kfs = nb_kfs[: self.TRI_BATCH]
-        B, N = self.TRI_BATCH, len(kf.kp_und)
-        R2 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-        t2 = np.zeros((B, 3), np.float32)
-        xy2 = np.zeros((B, N, 2), np.float32)
-        oct2 = np.zeros((B, N), np.int32)
-        ang2 = np.zeros((B, N), np.float32)
-        desc2 = np.zeros((B, N, 32), np.uint8)
-        free2 = np.zeros((B, N), bool)
-        nb_valid = np.zeros(B, bool)
-        for b, kf2 in enumerate(nb_kfs):
-            R2[b], t2[b] = kf2.Rcw, kf2.tcw
-            xy2[b], oct2[b], ang2[b] = kf2.kp_und, kf2.kp_octave, kf2.kp_angle
-            desc2[b] = kf2.desc
-            free2[b] = (kf2.mp_ids < 0) & kf2.kp_valid
-            nb_valid[b] = True
-
-        idx, good, X = jax.device_get(mapping_batch.triangulate_with_neighbors(
-            self.jK, jnp.asarray(np.linalg.inv(self.K).astype(np.float32)),
-            jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
-            jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
-            jnp.asarray(kf.kp_angle), jnp.asarray(kf.desc),
-            jnp.asarray((kf.mp_ids < 0) & kf.kp_valid),
-            jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(xy2),
-            jnp.asarray(oct2), jnp.asarray(ang2), jnp.asarray(desc2),
-            jnp.asarray(free2), jnp.asarray(nb_valid),
-            jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
-            jnp.float32(1.5 * float(self.config.orb.scale_factor)),
-        ))
-        # host creation in neighbor order; first neighbor to triangulate a
-        # keypoint slot wins (the reference's sequential loop has the same
-        # first-wins semantics through the mp_ids guards)
-        created = []
-        for b, kf2 in enumerate(nb_kfs):
-            for k in np.nonzero(good[b])[0]:
-                ia, ib = int(k), int(idx[b, k])
-                if kf.mp_ids[ia] >= 0 or kf2.mp_ids[ib] >= 0:
+        # ---- prep (under map lock): neighbor gates + input blocks ----------
+        with m.update_lock:
+            epoch = m.map_epoch
+            O1 = kf.camera_center()
+            # host gates per neighbor (reference :222-234): real baseline vs
+            # median scene depth
+            nb_kfs = []
+            for nb_id in kf.best_covisible(20):
+                kf2 = m.keyframes.get(nb_id)
+                if kf2 is None or kf2.bad:
                     continue
-                mp = m.new_map_point(X[b, k].astype(np.float32), kf.desc[ia], kf.id)
-                mp.first_kf_id = kf.id
-                m.add_observation(mp, kf, ia)
-                m.add_observation(mp, kf2, ib)
-                created.append(mp.id)
-                self.recent_points.append(mp.id)
-        m.refresh_points(created, self.scale_factors)
+                baseline = float(np.linalg.norm(kf2.camera_center() - O1))
+                med_depth = self._median_depth(kf2)
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue
+                nb_kfs.append(kf2)
+            if not nb_kfs:
+                return
+            nb_kfs = nb_kfs[: self.TRI_BATCH]
+            B, N = self.TRI_BATCH, len(kf.kp_und)
+            R2 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            t2 = np.zeros((B, 3), np.float32)
+            xy2 = np.zeros((B, N, 2), np.float32)
+            oct2 = np.zeros((B, N), np.int32)
+            ang2 = np.zeros((B, N), np.float32)
+            desc2 = np.zeros((B, N, 32), np.uint8)
+            free2 = np.zeros((B, N), bool)
+            nb_valid = np.zeros(B, bool)
+            for b, kf2 in enumerate(nb_kfs):
+                R2[b], t2[b] = kf2.Rcw, kf2.tcw
+                xy2[b], oct2[b], ang2[b] = kf2.kp_und, kf2.kp_octave, kf2.kp_angle
+                desc2[b] = kf2.desc
+                free2[b] = (kf2.mp_ids < 0) & kf2.kp_valid
+                nb_valid[b] = True
+            args = (
+                self.jK, jnp.asarray(np.linalg.inv(self.K).astype(np.float32)),
+                jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
+                jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
+                jnp.asarray(kf.kp_angle), jnp.asarray(kf.desc),
+                jnp.asarray((kf.mp_ids < 0) & kf.kp_valid),
+                jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(xy2),
+                jnp.asarray(oct2), jnp.asarray(ang2), jnp.asarray(desc2),
+                jnp.asarray(free2), jnp.asarray(nb_valid),
+                jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
+                jnp.float32(1.5 * float(self.config.orb.scale_factor)))
+
+        # ---- device solve: LOCK RELEASED so tracking never waits behind it
+        idx, good, X = jax.device_get(
+            mapping_batch.triangulate_with_neighbors(*args))
+
+        # ---- apply (under map lock): host creation in neighbor order; first
+        # neighbor to triangulate a keypoint slot wins (the reference's
+        # sequential loop has the same first-wins semantics through the
+        # mp_ids guards, which also re-check anything that changed while the
+        # lock was released)
+        with m.update_lock:
+            if m.map_epoch != epoch:  # reset landed mid-solve
+                return
+            created = []
+            for b, kf2 in enumerate(nb_kfs):
+                if kf2.bad or kf.bad:
+                    continue
+                for k in np.nonzero(good[b])[0]:
+                    ia, ib = int(k), int(idx[b, k])
+                    if kf.mp_ids[ia] >= 0 or kf2.mp_ids[ib] >= 0:
+                        continue
+                    mp = m.new_map_point(X[b, k].astype(np.float32), kf.desc[ia], kf.id)
+                    mp.first_kf_id = kf.id
+                    m.add_observation(mp, kf, ia)
+                    m.add_observation(mp, kf2, ib)
+                    created.append(mp.id)
+                    self.recent_points.append(mp.id)
+            m.refresh_points(created, self.scale_factors)
 
     # fixed target-batch bucket for the forward fuse (20 first-order + up to
     # 12 second-order in practice); one constant shape = one compile
     FUSE_BATCH = 32
 
-    def _search_in_neighbors(self, kf: KeyFrame):
+    def _search_in_neighbors(self, kf: KeyFrame, epoch: int | None = None):
         """Reference SearchInNeighbors (LocalMapping.cc:398-488): fuse the
         current keyframe's points into 1st+2nd-order neighbors and back.
         The forward direction runs as ONE batched device call over all
@@ -217,23 +294,28 @@ class LocalMapping:
         targets; with per-object locks its order is scheduler-dependent
         anyway, so snapshot semantics are within its nondeterminism)."""
         m = self.map
-        targets = []
-        seen = {kf.id}
-        for nb in kf.best_covisible(20):
-            if nb not in seen:
-                seen.add(nb)
-                nkf = m.keyframes.get(nb)
-                if nkf is None or nkf.bad:
-                    continue
-                targets.append(nkf)
-                for nb2 in nkf.best_covisible(5):
-                    if nb2 not in seen:
-                        seen.add(nb2)
-                        nkf2 = m.keyframes.get(nb2)
-                        if nkf2 is not None and not nkf2.bad:
-                            targets.append(nkf2)
-        cur_mps = [m.resolve(int(mid)) for mid in kf.mp_ids if mid >= 0]
-        cur_mps = sorted({mid for mid in cur_mps if mid >= 0})
+        if epoch is None:
+            epoch = m.map_epoch
+        with m.update_lock:
+            if self._pass_stale_locked(kf, epoch):
+                return
+            targets = []
+            seen = {kf.id}
+            for nb in kf.best_covisible(20):
+                if nb not in seen:
+                    seen.add(nb)
+                    nkf = m.keyframes.get(nb)
+                    if nkf is None or nkf.bad:
+                        continue
+                    targets.append(nkf)
+                    for nb2 in nkf.best_covisible(5):
+                        if nb2 not in seen:
+                            seen.add(nb2)
+                            nkf2 = m.keyframes.get(nb2)
+                            if nkf2 is not None and not nkf2.bad:
+                                targets.append(nkf2)
+            cur_mps = [m.resolve(int(mid)) for mid in kf.mp_ids if mid >= 0]
+            cur_mps = sorted({mid for mid in cur_mps if mid >= 0})
         if targets and cur_mps:
             # chunk over the FUSE_BATCH-sized compile bucket so every
             # neighbor gets fused (the reference visits all ~20+5*20 of
@@ -242,18 +324,24 @@ class LocalMapping:
                 self._fuse_forward_batch(
                     targets[c0:c0 + self.FUSE_BATCH], cur_mps)
         # reverse fuse: all target map points into the current keyframe
-        fuse_ids = []
-        fs = set()
-        for tkf in targets:
-            for mid in tkf.mp_ids:
-                if mid >= 0 and mid not in fs:
-                    fuse_ids.append(int(mid))
-                    fs.add(mid)
+        with m.update_lock:
+            if self._pass_stale_locked(kf, epoch):
+                return
+            fuse_ids = []
+            fs = set()
+            for tkf in targets:
+                for mid in tkf.mp_ids:
+                    if mid >= 0 and mid not in fs:
+                        fuse_ids.append(int(mid))
+                        fs.add(mid)
         self._fuse_into(kf, fuse_ids)
 
-        m.refresh_points([int(mid) for mid in kf.mp_ids[kf.mp_ids >= 0]],
-                         self.scale_factors)
-        m.update_connections(kf)
+        with m.update_lock:
+            if self._pass_stale_locked(kf, epoch):
+                return
+            m.refresh_points([int(mid) for mid in kf.mp_ids[kf.mp_ids >= 0]],
+                             self.scale_factors)
+            m.update_connections(kf)
 
     def _fuse_forward_batch(self, targets: List[KeyFrame], mp_ids: List[int],
                             th: float = 3.0):
@@ -264,34 +352,37 @@ class LocalMapping:
         from ceres_mono_orb_slam2_tpu.ops import mapping_batch
 
         m = self.map
-        B, N = self.FUSE_BATCH, len(targets[0].kp_und)
-        M = len(mp_ids)
-        Mb = bucket(M)
-        garr = np.asarray(mp_ids, np.int64)  # one table gather per field
-        pos = pad_rows(m.mp_pos[garr], Mb)
-        desc = pad_rows(m.mp_desc[garr], Mb)
-        mind = pad_rows(m.mp_mind[garr], Mb)
-        maxd = pad_rows(m.mp_maxd[garr], Mb)
-        normal = pad_rows(m.mp_normal[garr], Mb)
+        with m.update_lock:
+            epoch = m.map_epoch
+            B, N = self.FUSE_BATCH, len(targets[0].kp_und)
+            M = len(mp_ids)
+            Mb = bucket(M)
+            garr = np.asarray(mp_ids, np.int64)  # one table gather per field
+            pos = pad_rows(m.mp_pos[garr], Mb)
+            desc = pad_rows(m.mp_desc[garr], Mb)
+            mind = pad_rows(m.mp_mind[garr], Mb)
+            maxd = pad_rows(m.mp_maxd[garr], Mb)
+            normal = pad_rows(m.mp_normal[garr], Mb)
 
-        R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-        t = np.zeros((B, 3), np.float32)
-        kp_xy = np.zeros((B, N, 2), np.float32)
-        kp_oct = np.zeros((B, N), np.int32)
-        kp_desc = np.zeros((B, N, 32), np.uint8)
-        kp_valid = np.zeros((B, N), bool)
-        mvalid = np.zeros((B, Mb), bool)
-        mp_arr = np.asarray(mp_ids, np.int64)
-        for b, tkf in enumerate(targets):
-            R[b], t[b] = tkf.Rcw, tkf.tcw
-            kp_xy[b], kp_oct[b], kp_desc[b] = tkf.kp_und, tkf.kp_octave, tkf.desc
-            kp_valid[b] = tkf.kp_valid
-            # a point the target already observes is excluded from its fuse
-            # (reference ORBmatcher.cc:738 IsInKeyFrame check); kf.mp_ids is
-            # the exact inverse of mp.observations (Map.add_observation), so
-            # one vectorized isin replaces an M-long membership loop
-            mvalid[b, :M] = ~np.isin(mp_arr, tkf.mp_ids[tkf.mp_ids >= 0])
+            R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            t = np.zeros((B, 3), np.float32)
+            kp_xy = np.zeros((B, N, 2), np.float32)
+            kp_oct = np.zeros((B, N), np.int32)
+            kp_desc = np.zeros((B, N, 32), np.uint8)
+            kp_valid = np.zeros((B, N), bool)
+            mvalid = np.zeros((B, Mb), bool)
+            mp_arr = np.asarray(mp_ids, np.int64)
+            for b, tkf in enumerate(targets):
+                R[b], t[b] = tkf.Rcw, tkf.tcw
+                kp_xy[b], kp_oct[b], kp_desc[b] = tkf.kp_und, tkf.kp_octave, tkf.desc
+                kp_valid[b] = tkf.kp_valid
+                # a point the target already observes is excluded from its fuse
+                # (reference ORBmatcher.cc:738 IsInKeyFrame check); kf.mp_ids is
+                # the exact inverse of mp.observations (Map.add_observation), so
+                # one vectorized isin replaces an M-long membership loop
+                mvalid[b, :M] = ~np.isin(mp_arr, tkf.mp_ids[tkf.mp_ids >= 0])
 
+        # device solve with the map lock released (tracking proceeds)
         idx, valid = jax.device_get(mapping_batch.fuse_into_targets(
             self.jK, jnp.asarray(R), jnp.asarray(t),
             jnp.asarray(kp_xy), jnp.asarray(kp_oct), jnp.asarray(kp_desc),
@@ -306,20 +397,92 @@ class LocalMapping:
         ))
         # replacements defer the target's distinctive-descriptor recompute
         # (reference MapPoint::Replace runs it inline, ~0.2 ms each — ~6k
-        # calls/run profiled); one batched refresh covers all touched targets
-        touched = []
-        for b, tkf in enumerate(targets):
-            for q in np.nonzero(valid[b, :M])[0]:
-                mid = m.resolve(mp_ids[q])
-                mp = m.map_points.get(mid) if mid >= 0 else None
-                if mp is None or mp.bad or tkf.id in mp.observations:
+        # calls/run profiled); one batched refresh covers all touched targets.
+        # The merge loop re-resolves / re-checks every id, so results computed
+        # against the pre-release snapshot stay safe to apply.
+        with m.update_lock:
+            if m.map_epoch != epoch:  # reset landed mid-solve
+                return
+            touched = []
+            for b, tkf in enumerate(targets):
+                if tkf.bad:
                     continue
-                kp = int(idx[b, q])
-                existing_id = m.resolve(int(tkf.mp_ids[kp]))
+                for q in np.nonzero(valid[b, :M])[0]:
+                    mid = m.resolve(mp_ids[q])
+                    mp = m.map_points.get(mid) if mid >= 0 else None
+                    if mp is None or mp.bad or tkf.id in mp.observations:
+                        continue
+                    kp = int(idx[b, q])
+                    existing_id = m.resolve(int(tkf.mp_ids[kp]))
+                    if existing_id >= 0:
+                        existing = m.map_points[existing_id]
+                        if existing.id == mp.id:
+                            continue
+                        if existing.n_obs > mp.n_obs:
+                            m.replace_map_point(mp, existing, refresh=False)
+                            touched.append(existing.id)
+                        else:
+                            m.replace_map_point(existing, mp, refresh=False)
+                            touched.append(mp.id)
+                    else:
+                        m.add_observation(mp, tkf, kp)
+            if touched:
+                m.refresh_points(touched, self.scale_factors)
+
+    def _fuse_into(self, kf: KeyFrame, mp_ids: List[int], th: float = 3.0):
+        """Reference ORBmatcher::Fuse (ORBmatcher.cc:724-842) host merge."""
+        m = self.map
+        with m.update_lock:
+            epoch = m.map_epoch
+            mp_ids = [m.resolve(mid) for mid in mp_ids]
+            mp_ids = [mid for mid in mp_ids if mid >= 0 and kf.id not in m.map_points[mid].observations]
+            if not mp_ids:
+                return
+            M = len(mp_ids)
+            Mb = bucket(M)  # shape bucket: avoid per-call recompiles
+            garr = np.asarray(mp_ids, np.int64)  # one table gather per field
+            pos = pad_rows(m.mp_pos[garr], Mb)
+            desc = pad_rows(m.mp_desc[garr], Mb)
+            mind = pad_rows(m.mp_mind[garr], Mb)
+            maxd = pad_rows(m.mp_maxd[garr], Mb)
+            normal = pad_rows(m.mp_normal[garr], Mb)
+            mvalid = np.zeros(Mb, bool)
+            mvalid[:M] = True
+            kf_args = (jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
+                       jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
+                       jnp.asarray(kf.desc), jnp.asarray(kf.kp_valid))
+
+        # device solve with the map lock released (tracking proceeds)
+        # bounds are effectively unconstrained here: search_fuse's spatial
+        # window implies the projection lands near a real keypoint anyway
+        idx, dist, valid = _fuse_into_device(
+            kf_args[0], kf_args[1], self.jK,
+            jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32)),
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(mvalid),
+            kf_args[2], kf_args[3], kf_args[4], kf_args[5],
+            jnp.float32(np.log(self.config.orb.scale_factor)),
+            jnp.asarray(self.scale_factors),
+            jnp.asarray(self.inv_sigma2.astype(np.float32)),
+            n_levels=self.n_levels, th=th,
+        )
+        ii, vi = jax.device_get((idx, valid))
+        with m.update_lock:
+            if m.map_epoch != epoch or kf.bad:  # reset/cull landed mid-solve
+                return
+            touched = []
+            for q in np.nonzero(vi)[0]:
+                mp = m.get_mp(m.resolve(mp_ids[q]))
+                if mp is None or kf.id in mp.observations:
+                    continue
+                kp = int(ii[q])
+                existing_id = m.resolve(int(kf.mp_ids[kp]))
                 if existing_id >= 0:
                     existing = m.map_points[existing_id]
                     if existing.id == mp.id:
                         continue
+                    # replace the one with fewer observations; descriptor refresh
+                    # batched below instead of per replace
                     if existing.n_obs > mp.n_obs:
                         m.replace_map_point(mp, existing, refresh=False)
                         touched.append(existing.id)
@@ -327,70 +490,9 @@ class LocalMapping:
                         m.replace_map_point(existing, mp, refresh=False)
                         touched.append(mp.id)
                 else:
-                    m.add_observation(mp, tkf, kp)
-        if touched:
-            m.refresh_points(touched, self.scale_factors)
-
-    def _fuse_into(self, kf: KeyFrame, mp_ids: List[int], th: float = 3.0):
-        """Reference ORBmatcher::Fuse (ORBmatcher.cc:724-842) host merge."""
-        m = self.map
-        mp_ids = [m.resolve(mid) for mid in mp_ids]
-        mp_ids = [mid for mid in mp_ids if mid >= 0 and kf.id not in m.map_points[mid].observations]
-        if not mp_ids:
-            return
-        M = len(mp_ids)
-        Mb = bucket(M)  # shape bucket: avoid per-call recompiles
-        garr = np.asarray(mp_ids, np.int64)  # one table gather per field
-        pos = pad_rows(m.mp_pos[garr], Mb)
-        desc = pad_rows(m.mp_desc[garr], Mb)
-        mind = pad_rows(m.mp_mind[garr], Mb)
-        maxd = pad_rows(m.mp_maxd[garr], Mb)
-        normal = pad_rows(m.mp_normal[garr], Mb)
-        mvalid = np.zeros(Mb, bool)
-        mvalid[:M] = True
-
-        from ceres_mono_orb_slam2_tpu.ops import frustum as frustum_ops
-
-        # bounds are effectively unconstrained here: search_fuse's spatial
-        # window implies the projection lands near a real keypoint anyway
-        uv, level, viewcos, visible = frustum_ops.frustum_and_scale(
-            jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw), self.jK,
-            jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32)),
-            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
-            jnp.asarray(mvalid), float(np.log(self.config.orb.scale_factor)), self.n_levels,
-        )
-        idx, dist, valid = matcher.search_fuse(
-            jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
-            matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kf.kp_valid),
-            uv, level, matcher.unpack_bits_pm1(jnp.asarray(desc)), visible,
-            jnp.asarray(self.scale_factors), th=th,
-            inv_level_sigma2=jnp.asarray(self.inv_sigma2.astype(np.float32)),
-        )
-        vi = np.asarray(valid)
-        ii = np.asarray(idx)
-        touched = []
-        for q in np.nonzero(vi)[0]:
-            mp = m.get_mp(mp_ids[q])
-            if mp is None:
-                continue
-            kp = int(ii[q])
-            existing_id = m.resolve(int(kf.mp_ids[kp]))
-            if existing_id >= 0:
-                existing = m.map_points[existing_id]
-                if existing.id == mp.id:
-                    continue
-                # replace the one with fewer observations; descriptor refresh
-                # batched below instead of per replace
-                if existing.n_obs > mp.n_obs:
-                    m.replace_map_point(mp, existing, refresh=False)
-                    touched.append(existing.id)
-                else:
-                    m.replace_map_point(existing, mp, refresh=False)
-                    touched.append(mp.id)
-            else:
-                m.add_observation(mp, kf, kp)
-        if touched:
-            m.refresh_points(touched, self.scale_factors)
+                    m.add_observation(mp, kf, kp)
+            if touched:
+                m.refresh_points(touched, self.scale_factors)
 
     # -------------------------------------------------------------- local BA
 
@@ -400,82 +502,13 @@ class LocalMapping:
         but not covisible are fixed; two-pass robust -> trimmed solve; outlier
         observations erased from the map afterwards."""
         m = self.map
-        # Reference window semantics (CeresOptimizer.cc:344-406): current KF
-        # + ALL its covisible keyframes are free; every map point they see is
-        # optimized; every other keyframe observing those points is fixed.
-        # No silent caps — problem shapes pad to power-of-two buckets, so XLA
-        # compiles O(log N) variants over a session (VERDICT r1 weak #6).
-        local_ids = [kf.id] + kf.best_covisible(len(kf.ordered_neighbors))
-        local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
-        local_set = set(local_ids)
-
-        # point set = union of the local keyframes' bound ids; kf.mp_ids is
-        # the exact inverse of mp.observations (Map.add_observation invariant),
-        # so the whole window + observation arrays build with vectorized
-        # searchsorted lookups instead of per-observation Python loops
-        cat = np.concatenate([m.keyframes[k].mp_ids for k in local_ids])
-        uniq = np.unique(cat[cat >= 0])
-        mp_ids = [int(mid) for mid in uniq if m.get_mp(int(mid)) is not None]
-        if not mp_ids:
+        with m.update_lock:
+            epoch = m.map_epoch
+            prep = self._lba_build(kf)
+        if prep is None:
             return
-        mp_arr = np.asarray(mp_ids, np.int64)  # ascending (np.unique order)
-
-        fixed_ids = []
-        fixed_set = set()
-        for mid in mp_ids:
-            for ok_id in m.map_points[mid].observations:
-                if ok_id not in local_set and ok_id not in fixed_set:
-                    okf = m.keyframes.get(ok_id)
-                    if okf is not None and not okf.bad:
-                        fixed_ids.append(ok_id)
-                        fixed_set.add(ok_id)
-
-        kf_ids = local_ids + fixed_ids
-        kf_slot = {k: i for i, k in enumerate(kf_ids)}
-
-        op_l, oj_l, uv_l, ow_l, kidx_l = [], [], [], [], []
-        for i_k, k in enumerate(kf_ids):
-            okf = m.keyframes[k]
-            kidx = np.nonzero(okf.mp_ids >= 0)[0]
-            ids = okf.mp_ids[kidx]
-            pos = np.minimum(np.searchsorted(mp_arr, ids), len(mp_arr) - 1)
-            hit = mp_arr[pos] == ids  # fixed KFs keep only window points
-            kidx = kidx[hit]
-            op_l.append(np.full(len(kidx), i_k, np.int32))
-            oj_l.append(pos[hit].astype(np.int32))
-            uv_l.append(okf.kp_und[kidx])
-            ow_l.append(self.inv_sigma2[okf.kp_octave[kidx]].astype(np.float32))
-            kidx_l.append(kidx)
-        op_all = np.concatenate(op_l)
-        oj_all = np.concatenate(oj_l)
-        n_obs = len(op_all)
-        if n_obs < 10:
-            return
-
-        P = bucket(len(kf_ids), 8)
-        MM = bucket(len(mp_ids), 256)
-        OO = bucket(n_obs, 1024)
-        R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
-        t = np.zeros((P, 3), np.float32)
-        fixed = np.ones(P, bool)
-        for k, i in kf_slot.items():
-            R[i] = m.keyframes[k].Rcw
-            t[i] = m.keyframes[k].tcw
-            fixed[i] = k in fixed_set or k == 0
-        pts = np.zeros((MM, 3), np.float32)
-        pvalid = np.zeros(MM, bool)
-        pts[: len(mp_ids)] = m.mp_pos[np.asarray(mp_ids, np.int64)]
-        pvalid[: len(mp_ids)] = True
-        op = np.zeros(OO, np.int32)
-        oj = np.zeros(OO, np.int32)
-        ouv = np.zeros((OO, 2), np.float32)
-        ow = np.ones(OO, np.float32)
-        ovalid = np.zeros(OO, bool)
-        op[:n_obs] = op_all
-        oj[:n_obs] = oj_all
-        ouv[:n_obs] = np.concatenate(uv_l)
-        ow[:n_obs] = np.concatenate(ow_l)
-        ovalid[:n_obs] = True
+        (kf_ids, kf_slot, mp_ids, oj_all, op_all, n_obs, fixed,
+         R, t, pts, pvalid, op, oj, ouv, ow, ovalid, P, MM) = prep
 
         # chunked solve with cooperative cancellation: the reference aborts
         # Ceres between iterations via InterruptBA (LocalMapping.cc:118-122,
@@ -483,6 +516,11 @@ class LocalMapping:
         # state mid-run, so the TPU-native equivalent is chunking — run the
         # Huber pass + half the trimmed pass, check the abort flag on the
         # host, and only then run the remaining trimmed iterations.
+        # The map lock is NOT held during the device solve: tracking proceeds
+        # while the two-pass LM runs (the reference's LocalMapping thread
+        # holds no map mutex during the Ceres solve either,
+        # CeresOptimizer.cc:416-571); the apply below re-takes it and
+        # re-validates everything it writes.
         jop, joj = jnp.asarray(op), jnp.asarray(oj)
         jouv, jow = jnp.asarray(ouv), jnp.asarray(ow)
         jovalid, jfixed, jpvalid = jnp.asarray(ovalid), jnp.asarray(fixed), jnp.asarray(pvalid)
@@ -523,22 +561,107 @@ class LocalMapping:
         # ONE batched transfer: each separate np.asarray is a full tunnel
         # round trip (~29 ms measured RTT on the remote-TPU link)
         Rn, tn, ptsn, inl = jax.device_get((res.R, res.t, res.points, res.inlier_obs))
+        with m.update_lock:
+            if m.map_epoch != epoch:  # reset landed mid-solve
+                return
+            for k, i in kf_slot.items():
+                okf = m.keyframes.get(k)
+                if okf is not None and not okf.bad and not fixed[i]:
+                    okf.Rcw = Rn[i]
+                    okf.tcw = tn[i]
+            live_ids = []
+            for i, mid in enumerate(mp_ids):
+                mp = m.map_points.get(mid)
+                if mp is not None and not mp.bad:
+                    mp.pos = ptsn[i]
+                    live_ids.append(mid)
+            # batched normal/depth refresh (positions moved; descriptors didn't)
+            m.refresh_points(live_ids, self.scale_factors, descriptors=False)
+            # erase outlier observations (reference CeresOptimizer.cc:573-581)
+            for q in np.nonzero(~inl[:n_obs])[0]:
+                mid = mp_ids[oj_all[q]]
+                mp = m.map_points.get(mid)
+                if mp is not None and not mp.bad:
+                    m.erase_observation(mp, kf_ids[op_all[q]])
+
+    def _lba_build(self, kf: KeyFrame):
+        """Local-BA problem construction (call under map.update_lock):
+        window selection + padded observation arrays. Returns None when the
+        window is degenerate."""
+        m = self.map
+        local_ids = [kf.id] + kf.best_covisible(len(kf.ordered_neighbors))
+        local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
+        local_set = set(local_ids)
+
+        # point set = union of the local keyframes' bound ids; kf.mp_ids is
+        # the exact inverse of mp.observations (Map.add_observation invariant),
+        # so the whole window + observation arrays build with vectorized
+        # searchsorted lookups instead of per-observation Python loops
+        cat = np.concatenate([m.keyframes[k].mp_ids for k in local_ids])
+        uniq = np.unique(cat[cat >= 0])
+        mp_ids = [int(mid) for mid in uniq if m.get_mp(int(mid)) is not None]
+        if not mp_ids:
+            return None
+        mp_arr = np.asarray(mp_ids, np.int64)  # ascending (np.unique order)
+
+        fixed_ids = []
+        fixed_set = set()
+        for mid in mp_ids:
+            for ok_id in m.map_points[mid].observations:
+                if ok_id not in local_set and ok_id not in fixed_set:
+                    okf = m.keyframes.get(ok_id)
+                    if okf is not None and not okf.bad:
+                        fixed_ids.append(ok_id)
+                        fixed_set.add(ok_id)
+
+        kf_ids = local_ids + fixed_ids
+        kf_slot = {k: i for i, k in enumerate(kf_ids)}
+
+        op_l, oj_l, uv_l, ow_l, kidx_l = [], [], [], [], []
+        for i_k, k in enumerate(kf_ids):
+            okf = m.keyframes[k]
+            kidx = np.nonzero(okf.mp_ids >= 0)[0]
+            ids = okf.mp_ids[kidx]
+            pos = np.minimum(np.searchsorted(mp_arr, ids), len(mp_arr) - 1)
+            hit = mp_arr[pos] == ids  # fixed KFs keep only window points
+            kidx = kidx[hit]
+            op_l.append(np.full(len(kidx), i_k, np.int32))
+            oj_l.append(pos[hit].astype(np.int32))
+            uv_l.append(okf.kp_und[kidx])
+            ow_l.append(self.inv_sigma2[okf.kp_octave[kidx]].astype(np.float32))
+            kidx_l.append(kidx)
+        op_all = np.concatenate(op_l)
+        oj_all = np.concatenate(oj_l)
+        n_obs = len(op_all)
+        if n_obs < 10:
+            return None
+
+        P = bucket(len(kf_ids), 8)
+        MM = bucket(len(mp_ids), 256)
+        OO = bucket(n_obs, 1024)
+        R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        t = np.zeros((P, 3), np.float32)
+        fixed = np.ones(P, bool)
         for k, i in kf_slot.items():
-            if not fixed[i]:
-                m.keyframes[k].Rcw = Rn[i]
-                m.keyframes[k].tcw = tn[i]
-        for i, mid in enumerate(mp_ids):
-            mp = m.map_points.get(mid)
-            if mp is not None and not mp.bad:
-                mp.pos = ptsn[i]
-        # batched normal/depth refresh (positions moved; descriptors didn't)
-        m.refresh_points(mp_ids, self.scale_factors, descriptors=False)
-        # erase outlier observations (reference CeresOptimizer.cc:573-581)
-        for q in np.nonzero(~inl[:n_obs])[0]:
-            mid = mp_ids[oj_all[q]]
-            mp = m.map_points.get(mid)
-            if mp is not None and not mp.bad:
-                m.erase_observation(mp, kf_ids[op_all[q]])
+            R[i] = m.keyframes[k].Rcw
+            t[i] = m.keyframes[k].tcw
+            fixed[i] = k in fixed_set or k == 0
+        pts = np.zeros((MM, 3), np.float32)
+        pvalid = np.zeros(MM, bool)
+        pts[: len(mp_ids)] = m.mp_pos[np.asarray(mp_ids, np.int64)]
+        pvalid[: len(mp_ids)] = True
+        op = np.zeros(OO, np.int32)
+        oj = np.zeros(OO, np.int32)
+        ouv = np.zeros((OO, 2), np.float32)
+        ow = np.ones(OO, np.float32)
+        ovalid = np.zeros(OO, bool)
+        op[:n_obs] = op_all
+        oj[:n_obs] = oj_all
+        ouv[:n_obs] = np.concatenate(uv_l)
+        ow[:n_obs] = np.concatenate(ow_l)
+        ovalid[:n_obs] = True
+        return (kf_ids, kf_slot, mp_ids, oj_all, op_all, n_obs, fixed,
+                R, t, pts, pvalid, op, oj, ouv, ow, ovalid, P, MM)
 
     # -------------------------------------------------------------- KF culling
 

@@ -168,8 +168,8 @@ class LoopClosing:
         has1 = (kf1.mp_ids >= 0) & kf1.kp_valid
         has2 = (kf2.mp_ids >= 0) & kf2.kp_valid
         idx, dist, valid = matcher.search_by_descriptor(
-            jnp.asarray(kf1.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf1.desc)), jnp.asarray(has1),
-            jnp.asarray(kf2.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf2.desc)), jnp.asarray(has2),
+            jnp.asarray(kf1.kp_angle), matcher.unpack_u8(kf1.desc), jnp.asarray(has1),
+            jnp.asarray(kf2.kp_angle), matcher.unpack_u8(kf2.desc), jnp.asarray(has2),
             ratio=0.75,
         )
         vi = np.asarray(valid)
@@ -235,9 +235,9 @@ class LoopClosing:
         kp_free = kf.kp_valid & ((kf.mp_ids < 0) if free_only else True)
         idx, d, valid = matcher.search_fuse(
             jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
-            matcher.unpack_bits_pm1(jnp.asarray(kf.desc)), jnp.asarray(kp_free),
+            matcher.unpack_u8(kf.desc), jnp.asarray(kp_free),
             jnp.asarray(np.stack([u, v], -1).astype(np.float32)), jnp.asarray(level),
-            matcher.unpack_bits_pm1(jnp.asarray(desc)), jnp.asarray(ok),
+            matcher.unpack_u8(desc), jnp.asarray(ok),
             jnp.asarray(sf), th=th, dist_th=dist_th,
         )
         return np.asarray(idx)[:M], np.asarray(valid)[:M]

@@ -457,6 +457,11 @@ class Map:
         keyframe insertion on the single host core)."""
         ids = kf.mp_ids[kf.mp_ids >= 0]
         if len(ids):
+            # defensive: a reset may have shrunk the SoA tables while a
+            # stale keyframe (captured before the reset) still holds ids
+            # beyond the new table; drop those rather than crash the worker
+            ids = ids[ids < len(self.mp_alive)]
+        if len(ids):
             ids = ids[self.mp_alive[ids]]
         counter: Dict[int, int] = {}
         if len(ids):

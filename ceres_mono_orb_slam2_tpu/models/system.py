@@ -88,8 +88,10 @@ class MonoSLAM:
                 self._work_q.get(timeout=0.05)
             except queue.Empty:
                 continue
-            with self.map.update_lock:
-                self.local_mapper.process_queue()
+            # LocalMapping takes map.update_lock per STAGE internally (see
+            # LocalMapping._process) so the tracker interleaves between
+            # stages instead of stalling for the whole mapping pass
+            self.local_mapper.process_queue()
             # The loop stage takes map.update_lock itself only around the
             # map-mutating correction (LoopClosing._correct_loop), like the
             # reference's fine-grained mutexes. Holding the lock across the

@@ -183,7 +183,15 @@ class Tracking:
         """ONE jitted device program for the whole per-frame hot path:
         extract + pool gather + fused match/solve. Separate dispatches cost
         ~13 ms of host-side call overhead per frame (measured); XLA inlines
-        the three jitted callees into a single executable."""
+        the three jitted callees into a single executable.
+
+        The SAME program serves the serial and the pipelined-chained paths:
+        motion prediction is selected on device between a host-computed
+        (R_pred, t_pred) and the on-device constant-velocity composition of
+        the previous two poses (pR/pt, ppR/ppt). Round 3 compiled a separate
+        `jit(chained)` program for the pipelined mode, which DOUBLED the
+        shape-bucket compile family (122 vs 28 post-warmup recompiles in the
+        pipelined endurance run); one unified program costs a 3x3 select."""
         if self._frontend is None:
             from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
             from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
@@ -197,8 +205,19 @@ class Tracking:
 
             @jax.jit
             def frontend(image, last_oct, last_angle, last_desc,
-                         last_pos, last_ok, last_local_row, R_pred, t_pred,
+                         last_pos, last_ok, last_local_row,
+                         pR, pt, ppR, ppt, hR_pred, ht_pred, use_host_pred,
                          pool_dev, slots_padded, bounds, th_local):
+                # constant-velocity prediction on device (host equivalent:
+                # _finish_track's velocity update + _fused_prepare).
+                # so3_project keeps the chained composition from compounding
+                # det(R) drift (the KNOWN_ISSUES frame-14 divergence would
+                # otherwise return through this exact multiply chain).
+                Rv = lie.so3_project(pR @ ppR.T)
+                tv = pt - Rv @ ppt
+                R_pred = jnp.where(use_host_pred, hR_pred,
+                                   lie.so3_project(Rv @ pR))
+                t_pred = jnp.where(use_host_pred, ht_pred, Rv @ pt + tv)
                 feats = extract_jit(image[None])
                 f1 = jax.tree_util.tree_map(lambda a: a[0], feats)
                 lblock = _pool_gather(*pool_dev, slots_padded)
@@ -210,6 +229,10 @@ class Tracking:
 
             self._frontend = frontend
         return self._frontend
+
+    # host-side prediction dummies for the unified frontend's device branch
+    _EYE3 = np.eye(3, dtype=np.float32)
+    _ZERO3 = np.zeros(3, np.float32)
 
     def _local_block(self, frame: Frame):
         """Local-map candidate block for the fused step, derived from the
@@ -248,13 +271,26 @@ class Tracking:
                 chunks.append(mids[mids >= 0])
         if not chunks:
             return local_kfs, np.zeros(0, np.int32)
-        ids = np.unique(np.concatenate(chunks))
+        # first-occurrence dedup PRESERVING keyframe-priority order: chunks
+        # are emitted highest-covisibility keyframe first, so when the block
+        # overflows the cap the dropped points are the frontier-most, least
+        # covisible ones — not an arbitrary pool-order suffix (the reference
+        # has no cap at all, Tracking.cc:954-977; the cap here is only the
+        # static compile shape)
+        cat = np.concatenate(chunks)
+        uniq, first = np.unique(cat, return_index=True)
+        ids = cat[np.sort(first)]
         slots = pool.slots_for_ids(ids)
         slots = slots[slots >= 0]
         cap = self.config.shapes.max_local_points
         if len(slots) > cap:
-            log.warning("local map truncated: %d candidate points > cap %d "
-                        "(raise StaticShapes.max_local_points)", len(slots), cap)
+            if not getattr(self, "_warned_local_cap", False):
+                self._warned_local_cap = True
+                log.warning(
+                    "local map truncated: %d candidate points > cap %d; "
+                    "keeping the points of the highest-covisibility local "
+                    "keyframes (raise StaticShapes.max_local_points to avoid "
+                    "truncation; warned once per session)", len(slots), cap)
             slots = slots[:cap]
         return local_kfs, slots
 
@@ -347,7 +383,8 @@ class Tracking:
                 jnp.asarray(image), last_oct, last_angle, last_desc,
                 jnp.asarray(last_pos), jnp.asarray(last_ok),
                 jnp.asarray(last_local_row),
-                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                self._EYE3, self._ZERO3, self._EYE3, self._ZERO3,
+                jnp.asarray(R_pred), jnp.asarray(t_pred), np.bool_(True),
                 pool_dev, jnp.asarray(slots_padded), bounds, th_local,
             )
         else:  # non-jittable frontend: separate extract + gather dispatches
@@ -514,39 +551,24 @@ class Tracking:
         return ctl
 
     def _ensure_chained(self, h: int, w: int):
-        """Jitted chained frontend: like _ensure_frontend, but the motion
-        prediction and the last-frame stage-1 inputs come from the PREVIOUS
-        fused step's device outputs (FusedOut.pos_kp/ok_next/next_local_row)
-        instead of host uploads, so this frame can be dispatched before the
-        previous frame's results are fetched."""
+        """Chained frontend = the SAME unified program as _ensure_frontend
+        with use_host_pred=False: motion prediction and the last-frame
+        stage-1 inputs come from the PREVIOUS fused step's device outputs
+        (FusedOut.pos_kp/ok_next/next_local_row) instead of host uploads, so
+        this frame can be dispatched before the previous frame's results are
+        fetched — with zero extra compile family."""
         if self._chained is None:
-            if self._ensure_frontend(h, w) is None:
+            frontend = self._ensure_frontend(h, w)
+            if frontend is None:
                 return None  # non-jittable frontend (e.g. GeoExtractor)
-            from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
 
-            extract_jit = self.extractor._extract_jit(h, w)
-            step = self._fused_step
-
-            @jax.jit
             def chained(image, p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
                         pR, pt, ppR, ppt, pool_dev, slots_padded, bounds,
                         th_local):
-                # constant-velocity prediction on device (host equivalent:
-                # _finish_track's velocity update + _fused_prepare).
-                # so3_project keeps the chained composition from compounding
-                # det(R) drift (the KNOWN_ISSUES frame-14 divergence would
-                # otherwise return through this exact multiply chain).
-                Rv = lie.so3_project(pR @ ppR.T)
-                tv = pt - Rv @ ppt
-                R_pred = lie.so3_project(Rv @ pR)
-                t_pred = Rv @ pt + tv
-                feats = extract_jit(image[None])
-                f1 = jax.tree_util.tree_map(lambda a: a[0], feats)
-                lblock = _pool_gather(*pool_dev, slots_padded)
-                out = step(f1.xy, f1.octave, f1.angle, f1.desc, f1.valid,
-                           p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
-                           R_pred, t_pred, *lblock, bounds, th_local)
-                return out, f1
+                return frontend(
+                    image, p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
+                    pR, pt, ppR, ppt, self._EYE3, self._ZERO3,
+                    np.bool_(False), pool_dev, slots_padded, bounds, th_local)
 
             self._chained = chained
         return self._chained
@@ -570,7 +592,8 @@ class Tracking:
             jnp.asarray(image), l_oct, l_angle, l_desc,
             jnp.asarray(last_pos), jnp.asarray(last_ok),
             jnp.asarray(last_local_row),
-            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            self._EYE3, self._ZERO3, self._EYE3, self._ZERO3,
+            jnp.asarray(R_pred), jnp.asarray(t_pred), np.bool_(True),
             pool_dev, slots_dev, bounds, th_local)
         ctl = self._start_copies(out, feats)
         import time as _time
@@ -1061,7 +1084,7 @@ class Tracking:
         kf_has_mp = (kf.mp_ids >= 0) & kf.kp_valid
         idx, dist, valid = matcher.search_by_descriptor(
             f.j_angle, f.j_bits, f.j_valid,
-            jnp.asarray(kf.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf.desc)),
+            jnp.asarray(kf.kp_angle), matcher.unpack_u8(kf.desc),
             jnp.asarray(kf_has_mp),
             ratio=0.7,
         )
@@ -1156,8 +1179,13 @@ class Tracking:
 
         cap = self.config.shapes.max_local_points
         if len(cand) > cap:
-            log.warning("local map truncated: %d candidate points > cap %d "
-                        "(raise StaticShapes.max_local_points)", len(cand), cap)
+            # cand is built walking local keyframes in shared-count order, so
+            # this truncation keeps the highest-covisibility keyframes' points
+            if not getattr(self, "_warned_local_cap", False):
+                self._warned_local_cap = True
+                log.warning("local map truncated: %d candidate points > cap "
+                            "%d (raise StaticShapes.max_local_points; warned "
+                            "once per session)", len(cand), cap)
         cand = cand[:cap]
         self._stat["local_kfs"] = len(local_kfs)
         self._stat["local_points"] = len(cand)
@@ -1192,7 +1220,7 @@ class Tracking:
             if self.current.id < self.last_reloc_frame_id + 2:
                 th = 5.0
             kp_free = jnp.asarray(f.mp_ids < 0) & f.j_valid
-            mp_bits = matcher.unpack_bits_pm1(jnp.asarray(desc))
+            mp_bits = matcher.unpack_u8(desc)
             idx, dist, valid = matcher.search_by_projection_points(
                 f.j_und, f.j_octave, f.j_bits, f.j_valid, kp_free,
                 uv, level, viewcos, mp_bits, visible, self.j_scale, th=th,
@@ -1278,7 +1306,7 @@ class Tracking:
             kf_has_mp = (kf.mp_ids >= 0) & kf.kp_valid
             idx, dist, valid = matcher.search_by_descriptor(
                 f.j_angle, f.j_bits, f.j_valid,
-                jnp.asarray(kf.kp_angle), matcher.unpack_bits_pm1(jnp.asarray(kf.desc)),
+                jnp.asarray(kf.kp_angle), matcher.unpack_u8(kf.desc),
                 jnp.asarray(kf_has_mp), ratio=0.75,
             )
             vi = np.asarray(valid)
@@ -1355,7 +1383,7 @@ class Tracking:
             idx2, d2, v2 = matcher.search_by_projection_frame(
                 f.j_und, f.j_octave, f.j_angle, f.j_bits, f.j_valid & jnp.asarray(f.mp_ids < 0),
                 jnp.asarray(uvp), jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.float32),
-                matcher.unpack_bits_pm1(jnp.asarray(mp_desc)), jnp.asarray(zok & fresh),
+                matcher.unpack_u8(mp_desc), jnp.asarray(zok & fresh),
                 self.j_scale, th=10.0, check_rotation=False, dist_th=100,
             )
             v2 = np.asarray(v2)
@@ -1387,7 +1415,7 @@ class Tracking:
                     f.j_und, f.j_octave, f.j_angle, f.j_bits,
                     f.j_valid & jnp.asarray(f.mp_ids < 0),
                     jnp.asarray(uvp), jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.float32),
-                    matcher.unpack_bits_pm1(jnp.asarray(mp_desc)), jnp.asarray(zok & fresh),
+                    matcher.unpack_u8(mp_desc), jnp.asarray(zok & fresh),
                     self.j_scale, th=3.0, check_rotation=False, dist_th=64,
                 )
                 v3 = np.asarray(v3)

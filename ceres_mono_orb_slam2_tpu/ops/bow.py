@@ -46,7 +46,7 @@ class Vocabulary:
         return len(self.word_weight)
 
     def device_tensors(self):
-        bits = matcher.unpack_bits_pm1(jnp.asarray(self.node_desc))
+        bits = matcher.unpack_u8(self.node_desc)
         return (
             bits,
             jnp.asarray(self.children),

@@ -36,6 +36,19 @@ def unpack_bits_pm1(desc_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (bits.astype(dtype) * 2 - 1).astype(dtype)
 
 
+_unpack_jit = jax.jit(unpack_bits_pm1)
+
+
+def unpack_u8(desc) -> jnp.ndarray:
+    """Host-side descriptor unpack: (..., 32) uint8 (numpy or device) ->
+    (..., 256) bf16 {-1,+1} as ONE jitted dispatch. Eagerly composing
+    unpack_bits_pm1 outside jit costs 6 separate eager-op compiles per new
+    shape (broadcast/shift/and/reshape/convert/mul — measured in the
+    full-system profile) and as many dispatch round-trips; the jitted form is
+    one compile (persistently cached) and one dispatch."""
+    return _unpack_jit(jnp.asarray(desc))
+
+
 def hamming_matrix(bits_a: jnp.ndarray, bits_b: jnp.ndarray) -> jnp.ndarray:
     """(..., Na, 256) x (..., Nb, 256) {-1,+1} -> (..., Na, Nb) int32 Hamming.
 

@@ -273,10 +273,12 @@ def gather_patches_pallas(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     """Batched patch gather as a Pallas kernel with column-windowed HBM reads.
 
     Equivalent to vmap(gather_patches) over the leading batch axis, but each
-    keypoint DMAs only a (side, 256) lane-aligned window around its column
-    instead of materializing full (n*side, W) row blocks — ~W/256 (≈5x at
-    KITTI width) less HBM traffic, which profiled as ~25% of the batched
-    extractor's device time. Each grid step issues `kpb` async window copies
+    keypoint DMAs only an (SD, 256) lane-aligned band around its column —
+    SD = 48 rows for side 31/39, the 8/16-aligned row count Mosaic's DMA
+    tiling requires — instead of materializing full (n*side, W) row blocks:
+    ~S·W/(SD·256) (≈3-4x at KITTI width) less HBM traffic, which profiled as
+    ~25% of the batched extractor's device time. Each grid step issues `kpb`
+    async window copies
     (latency overlaps across the batch), then extracts the (side, side)
     patches with one batched one-hot MXU contraction in VMEM.
 

@@ -148,7 +148,7 @@ def synthetic_stream_state(config, n_streams: int, n_map_points: int, seed: int 
     # viewing normal = direction camera->point (reference UpdateNormalAndDepth)
     normal = pos / np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-6)
     dists = np.maximum(np.linalg.norm(pos, axis=-1), 1.0)
-    bits = np.asarray(matcher.unpack_bits_pm1(jnp.asarray(desc)))
+    bits = np.asarray(matcher.unpack_u8(desc))
     state = StreamState(
         Rcw=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_streams, 1, 1))),
         tcw=jnp.zeros((n_streams, 3), jnp.float32),

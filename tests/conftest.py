@@ -8,6 +8,11 @@ path). Must set env BEFORE jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache for the CPU test mesh: XLA:CPU AOT reload
+# compares compiler-tuning pseudo-features (prefer-no-scatter, ...) against
+# host CPUID and logs a large error per load; caching only pays on the TPU
+# path where steady-state compiles are the latency killer.
+os.environ.setdefault("CERES_TPU_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
