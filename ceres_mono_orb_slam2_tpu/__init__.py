@@ -37,7 +37,17 @@ if _os.environ.get("JAX_PLATFORMS"):
 # executables on disk so repeated runs skip XLA entirely. Opt out with
 # CERES_TPU_NO_COMPILE_CACHE=1.
 if not _os.environ.get("CERES_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
+    # default cache location: <repo>/.jax_cache (gitignored) — survives
+    # across sessions on the same machine so the end-of-round bench and any
+    # later run start fully warm (/tmp is commonly wiped between sessions);
+    # falls back to /tmp when the package is installed read-only
+    _repo_cache = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache")
+    _default_cache = (_repo_cache
+                      if _os.access(_os.path.dirname(_repo_cache), _os.W_OK)
+                      else "/tmp/ceres_tpu_jax_cache")
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache)
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         # cache EVERYTHING: steady-state bucket-growth compiles are 0.1-3 s

@@ -62,6 +62,67 @@ class FusedOut(NamedTuple):
     next_local_row: jnp.ndarray  # (N,) int32 local-block row of the bound point (-1 none)
 
 
+def pack_control(out: FusedOut, feats_valid: jnp.ndarray) -> jnp.ndarray:
+    """Pack every host-bound control output into ONE int32 vector.
+
+    The control fetch was 14 separate arrays; through the remote-TPU tunnel
+    each fetched buffer pays its own per-RPC overhead (measured ~67 ms for
+    the 14-array get vs ~26 ms flat for a single sync), so the fetch is the
+    per-frame critical path. Layout (int32):
+      [0:12]        R (9) + t (3), f32 bitcast
+      [12:15]       n1_matches, n1_inliers, n2_inliers
+      [15:15+N]     per-keypoint: m1_idx | m1_valid<<16 | inl1<<17
+                    | assoc<<18 | inl2<<19 | feats_valid<<20
+      [15+N:15+N+L] per-local-row: m2_idx | m2_valid<<16 | visible<<17
+    Index fields are < N <= 65535 so 16 bits hold them. Traceable: callers
+    fold it into their own jit (the unified frontend) or use the module
+    jit `pack_control_jit`."""
+    kp = (out.m1_idx.astype(jnp.int32)
+          | (out.m1_valid.astype(jnp.int32) << 16)
+          | (out.inl1.astype(jnp.int32) << 17)
+          | (out.assoc.astype(jnp.int32) << 18)
+          | (out.inl2.astype(jnp.int32) << 19)
+          | (feats_valid.astype(jnp.int32) << 20))
+    loc = (out.m2_idx.astype(jnp.int32)
+           | (out.m2_valid.astype(jnp.int32) << 16)
+           | (out.visible.astype(jnp.int32) << 17))
+    hdr = jax.lax.bitcast_convert_type(
+        jnp.concatenate([out.R.reshape(-1), out.t]).astype(jnp.float32),
+        jnp.int32)
+    cnt = jnp.stack([out.n1_matches, out.n1_inliers,
+                     out.n2_inliers]).astype(jnp.int32)
+    return jnp.concatenate([hdr, cnt, kp, loc])
+
+
+pack_control_jit = jax.jit(pack_control)
+
+CTL_HEADER = 15  # R+t (12) + 3 counters
+
+
+def unpack_control(packed: np.ndarray, L: int):
+    """Host-side inverse of pack_control. `packed` is the fetched (15+N+L,)
+    int32 numpy vector; returns the same tuple order as the old 14-array
+    control fetch: (R, t, m1_idx, m1_valid, inl1, n1, ninl1, m2_idx,
+    m2_valid, visible, assoc, inl2, ninl2, feats_valid)."""
+    hdr = packed[:12].view(np.float32)
+    R = hdr[:9].reshape(3, 3).copy()
+    t = hdr[9:12].copy()
+    n1, ninl1, ninl2 = (int(packed[12]), int(packed[13]), int(packed[14]))
+    kp = packed[CTL_HEADER:-L]
+    loc = packed[len(packed) - L:]
+    m1_idx = (kp & 0xFFFF).astype(np.int32)
+    m1_valid = (kp >> 16 & 1).astype(bool)
+    inl1 = (kp >> 17 & 1).astype(bool)
+    assoc = (kp >> 18 & 1).astype(bool)
+    inl2 = (kp >> 19 & 1).astype(bool)
+    feats_valid = (kp >> 20 & 1).astype(bool)
+    m2_idx = (loc & 0xFFFF).astype(np.int32)
+    m2_valid = (loc >> 16 & 1).astype(bool)
+    visible = (loc >> 17 & 1).astype(bool)
+    return (R, t, m1_idx, m1_valid, inl1, n1, ninl1,
+            m2_idx, m2_valid, visible, assoc, inl2, ninl2, feats_valid)
+
+
 def build_fused_step(config):
     """Build the fused step closure for one camera/ORB configuration.
     Compiles per (N, L) shape pair (keypoint budget x local-block bucket)."""

@@ -61,6 +61,7 @@ class MonoSLAM:
         self._last_big_change = 0
         self._worker: Optional[threading.Thread] = None
         self._work_q: "queue.Queue[int]" = queue.Queue()
+        self._worker_busy = False
         self._shutdown = False
         if threaded:
             self._worker = threading.Thread(target=self._mapping_worker, daemon=True)
@@ -88,17 +89,40 @@ class MonoSLAM:
                 self._work_q.get(timeout=0.05)
             except queue.Empty:
                 continue
-            # LocalMapping takes map.update_lock per STAGE internally (see
-            # LocalMapping._process) so the tracker interleaves between
-            # stages instead of stalling for the whole mapping pass
-            self.local_mapper.process_queue()
-            # The loop stage takes map.update_lock itself only around the
-            # map-mutating correction (LoopClosing._correct_loop), like the
-            # reference's fine-grained mutexes. Holding the lock across the
-            # whole stage would deadlock threaded GBA: _correct_loop joins
-            # the GBA thread, which needs the lock for its snapshot/apply.
-            if self.loop_closer is not None:
-                self.loop_closer.process_queue()
+            self._worker_busy = True
+            try:
+                # LocalMapping takes map.update_lock per STAGE internally (see
+                # LocalMapping._process) so the tracker interleaves between
+                # stages instead of stalling for the whole mapping pass
+                self.local_mapper.process_queue()
+                # The loop stage takes map.update_lock itself only around the
+                # map-mutating correction (LoopClosing._correct_loop), like the
+                # reference's fine-grained mutexes. Holding the lock across the
+                # whole stage would deadlock threaded GBA: _correct_loop joins
+                # the GBA thread, which needs the lock for its snapshot/apply.
+                if self.loop_closer is not None:
+                    self.loop_closer.process_queue()
+            finally:
+                self._worker_busy = False
+
+    def wait_mapper_idle(self, timeout: float = 30.0) -> bool:
+        """Block until the mapping/loop worker has drained (queues empty, no
+        pass in flight). The reference's drivers pace frames at camera fps
+        (main.cc:97-106), which implicitly yields host time to the mapping
+        thread; max-rate harnesses and tests call this for the same effect.
+        Returns False on timeout. No-op (True) in non-threaded mode."""
+        import time as _time
+
+        if not self.threaded:
+            return True
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < timeout:
+            if (not self.local_mapper.queue and not self._worker_busy
+                    and (self.loop_closer is None
+                         or not self.loop_closer.queue)):
+                return True
+            _time.sleep(0.002)
+        return False
 
     def track_monocular(self, image: np.ndarray, timestamp: float):
         """Reference TrackMonocular (MonoORBSlam.cc:103-141). Returns Tcw
@@ -135,7 +159,14 @@ class MonoSLAM:
         if self.live_viewer is not None:
             self.live_viewer.shutdown()
         if self._worker is not None:
-            self._worker.join(timeout=2.0)
+            # a worker mid-XLA-compile can take tens of seconds to notice
+            # _shutdown; abandoning it as a daemon thread makes interpreter
+            # teardown abort inside the XLA runtime ("pure virtual method
+            # called") — join generously instead
+            self._worker.join(timeout=120.0)
+            if self._worker.is_alive():
+                log.warning("mapping worker still busy at shutdown; "
+                            "abandoning it (teardown may be unclean)")
         # a keyframe enqueued by the pipeline flush above may never have been
         # handed to the worker (it only wakes on track_monocular's signal):
         # drain the mapper so the saved map includes its triangulation pass

@@ -193,6 +193,7 @@ class Tracking:
         shape-bucket compile family (122 vs 28 post-warmup recompiles in the
         pipelined endurance run); one unified program costs a 3x3 select."""
         if self._frontend is None:
+            from ceres_mono_orb_slam2_tpu.models import fused_track as fused_track_mod
             from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
             from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
 
@@ -225,7 +226,10 @@ class Tracking:
                            last_oct, last_angle, last_desc,
                            last_pos, last_ok, last_local_row, R_pred, t_pred,
                            *lblock, bounds, th_local)
-                return out, f1
+                # pack the host-bound control outputs INSIDE the program:
+                # one fetched buffer instead of 14 (each costs its own RPC
+                # through the remote-TPU tunnel)
+                return out, f1, fused_track_mod.pack_control(out, f1.valid)
 
             self._frontend = frontend
         return self._frontend
@@ -353,14 +357,16 @@ class Tracking:
 
     @staticmethod
     def _fused_control_outputs(out, feats):
-        """Device arrays a frame's single control device_get fetches (~60 KB).
-        The full keypoint payload stays on device — Frame is lazy and fetches
-        it in one batched get only if this frame becomes a keyframe or a
-        fallback path touches it (tunnel RTT is ~29 ms, ~140 KB of extra
-        payload another ~10 ms; most frames skip both)."""
-        return (out.R, out.t, out.m1_idx, out.m1_valid, out.inl1,
-                out.n1_matches, out.n1_inliers, out.m2_idx, out.m2_valid,
-                out.visible, out.assoc, out.inl2, out.n2_inliers, feats.valid)
+        """ONE packed int32 device array holding every host-bound control
+        output (fused_track.pack_control). The full keypoint payload stays
+        on device — Frame is lazy and fetches it in one batched get only if
+        this frame becomes a keyframe or a fallback path touches it (tunnel
+        RTT is ~29 ms, ~140 KB of extra payload another ~10 ms; most frames
+        skip both). Paths whose jit already returns the packed buffer (the
+        unified frontend) skip this dispatch entirely."""
+        from ceres_mono_orb_slam2_tpu.models import fused_track
+
+        return fused_track.pack_control_jit(out, feats.valid)
 
     def _grab_fused(self, image: np.ndarray, timestamp: float):
         """The production per-frame hot path: ONE fused device call (see
@@ -379,7 +385,7 @@ class Tracking:
          th_local) = args
         frontend = self._ensure_frontend(image.shape[-2], image.shape[-1])
         if frontend is not None:
-            out, feats = frontend(
+            out, feats, packed = frontend(
                 jnp.asarray(image), last_oct, last_angle, last_desc,
                 jnp.asarray(last_pos), jnp.asarray(last_ok),
                 jnp.asarray(last_local_row),
@@ -401,16 +407,20 @@ class Tracking:
                 jnp.asarray(R_pred), jnp.asarray(t_pred),
                 *lblock, bounds, th_local,
             )
-        host = jax.device_get(self._fused_control_outputs(out, feats))
+            packed = self._fused_control_outputs(out, feats)
+        host = jax.device_get(packed)
         self._fused_consume(aux, out, feats, host)
 
     def _fused_consume(self, aux, out, feats, host):
         """Host phase 2 of the fused path: association bookkeeping, stats,
         fallbacks, keyframe decision. `host` is the fetched tuple of
         _fused_control_outputs. Call under map.update_lock."""
+        from ceres_mono_orb_slam2_tpu.models import fused_track
+
         (t0, lf, pool, local_kfs, slots, slots_padded, timestamp, ids_snap) = aux
         (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
-         assoc, inl2, ninl2, h_valid) = host
+         assoc, inl2, ninl2, h_valid) = fused_track.unpack_control(
+            host, len(slots_padded))
 
         f = Frame(feats, self.cam, timestamp, lazy=True, j_und=out.und,
                   frame_id=next(self._frame_seq))
@@ -533,16 +543,14 @@ class Tracking:
             return T
         return None
 
-    def _start_copies(self, out, feats):
-        """Begin async device->host copies of the control outputs; they
-        stream back while the device keeps working on the next frame's
-        dispatch, so the consume-side device_get finds them resident instead
+    def _start_copies(self, ctl):
+        """Begin the async device->host copy of the packed control buffer; it
+        streams back while the device keeps working on the next frame's
+        dispatch, so the consume-side device_get finds it resident instead
         of paying a full synchronous round-trip."""
-        ctl = self._fused_control_outputs(out, feats)
         if not getattr(self, "_no_async_copy", False):
             try:
-                for a in ctl:
-                    a.copy_to_host_async()
+                ctl.copy_to_host_async()
             except Exception as e:  # backend without async copies: consume-
                 self._no_async_copy = True  # side device_get still works, sync
                 log.warning("async device->host copies disabled for this "
@@ -588,14 +596,14 @@ class Tracking:
          R_pred, t_pred, pool_dev, slots_padded, bounds, th_local) = args
         (t0, lf, pool, local_kfs, slots, _sp, ts, ids_snap) = aux
         slots_dev = jnp.asarray(slots_padded)
-        out, feats = frontend(
+        out, feats, packed = frontend(
             jnp.asarray(image), l_oct, l_angle, l_desc,
             jnp.asarray(last_pos), jnp.asarray(last_ok),
             jnp.asarray(last_local_row),
             self._EYE3, self._ZERO3, self._EYE3, self._ZERO3,
             jnp.asarray(R_pred), jnp.asarray(t_pred), np.bool_(True),
             pool_dev, slots_dev, bounds, th_local)
-        ctl = self._start_copies(out, feats)
+        ctl = self._start_copies(packed)
         import time as _time
         self._pending = dict(
             out=out, feats=feats, ctl=ctl, image=image, timestamp=ts, t0=t0,
@@ -702,14 +710,14 @@ class Tracking:
 
         # chained dispatch of this frame while the previous one is in flight
         t0 = time.perf_counter()
-        out, feats = self._chained(
+        out, feats, packed = self._chained(
             jnp.asarray(image),
             p["feats"].octave, p["feats"].angle, p["feats"].desc,
             p["out"].pos_kp, p["out"].ok_next, p["out"].next_local_row,
             p["out"].R, p["out"].t, p["ppR"], p["ppt"],
             p["pool_dev"], p["slots_dev"], self.j_bounds,
             np.float32(1.0))
-        ctl = self._start_copies(out, feats)
+        ctl = self._start_copies(packed)
         newp = dict(
             out=out, feats=feats, ctl=ctl, image=image, timestamp=timestamp,
             t0=t0, pool=p["pool"], local_kfs=p["local_kfs"], slots=p["slots"],

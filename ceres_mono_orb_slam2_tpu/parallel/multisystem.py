@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ceres_mono_orb_slam2_tpu.models import fused_track
 from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
 from ceres_mono_orb_slam2_tpu.models.fused_track import build_fused_step
 from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
@@ -97,11 +98,12 @@ class MultiStreamSLAM:
                   *lblock, bounds, th)
                 # slice per-stream outputs INSIDE the compiled program: the
                 # host sees S separate buffer sets with zero extra dispatches
+                packs = jax.vmap(fused_track.pack_control)(out, feats.valid)
                 outs = tuple(jax.tree_util.tree_map(lambda a: a[s], out)
                              for s in range(S))
                 fouts = tuple(jax.tree_util.tree_map(lambda a: a[s], feats)
                               for s in range(S))
-                return outs, fouts
+                return outs, fouts, tuple(packs[s] for s in range(S))
 
             self._batched_frontend = frontend
         return self._batched_frontend
@@ -136,7 +138,7 @@ class MultiStreamSLAM:
                     for i in range(S)]
             # host leaves stack into ONE transfer each; device leaves
             # (last-frame tensors, pools, bounds) pass through as lists
-            outs, fouts = frontend(
+            outs, fouts, packs = frontend(
                 jnp.asarray(np.stack([a[0] for a in lane])),
                 [a[1] for a in lane], [a[2] for a in lane],
                 [a[3] for a in lane],
@@ -150,12 +152,8 @@ class MultiStreamSLAM:
                 lane[0][11],
                 jnp.asarray(np.stack([a[12] for a in lane])),
             )
-            # ONE device_get for every batched stream's control outputs
-            from ceres_mono_orb_slam2_tpu.models.tracking import Tracking
-
-            ctl = jax.device_get(tuple(
-                Tracking._fused_control_outputs(outs[i], fouts[i])
-                for i in batch_idx))
+            # ONE device_get for every batched stream's packed control buffer
+            ctl = jax.device_get(tuple(packs[i] for i in batch_idx))
             for k, i in enumerate(batch_idx):
                 sysm = self.streams[i]
                 with sysm.map.update_lock:
