@@ -123,6 +123,59 @@ def unpack_control(packed: np.ndarray, L: int):
             m2_idx, m2_valid, visible, assoc, inl2, ninl2, feats_valid)
 
 
+HOST_IN_HEADER = 14  # use_packed flag (1) + R_pred (9) + t_pred (3) + th (1)
+
+
+def pack_host_inputs(R_pred, t_pred, th_local, last_pos, last_ok,
+                     last_local_row, slots_padded) -> np.ndarray:
+    """Pack the serial path's per-frame host->device inputs into ONE int32
+    upload (numpy, host side). Before packing a serial frame issued ~13
+    separate transfers (each its own RPC through the remote-TPU tunnel,
+    ~2 ms apiece): prediction R/t, last-frame point block, binding masks,
+    local-block slots, search radius, plus numpy constants re-uploaded every
+    call. Layout (int32):
+      [0]             1 (use_packed flag; the chained path passes a cached
+                      zero buffer whose flag 0 selects the device tensors)
+      [1:14]          R_pred (9) + t_pred (3) + th_local (1), f32 bitcast
+      [14:14+3N]      last_pos, f32 bitcast
+      [14+3N:14+4N]   (last_local_row+1) & 0xFFFF | last_ok << 16
+      [14+4N:14+4N+L] slots_padded
+    Rows are < L <= 65535 so 16 bits hold row+1."""
+    N = len(last_ok)
+    L = len(slots_padded)
+    buf = np.empty(HOST_IN_HEADER + 4 * N + L, np.int32)
+    hdr = np.empty(13, np.float32)
+    hdr[:9] = np.asarray(R_pred, np.float32).ravel()
+    hdr[9:12] = np.asarray(t_pred, np.float32)
+    hdr[12] = th_local
+    buf[0] = 1
+    buf[1:14] = hdr.view(np.int32)
+    buf[14:14 + 3 * N] = np.ascontiguousarray(
+        last_pos, np.float32).ravel().view(np.int32)
+    buf[14 + 3 * N:14 + 4 * N] = (
+        ((last_local_row.astype(np.int32) + 1) & 0xFFFF)
+        | (last_ok.astype(np.int32) << 16))
+    buf[14 + 4 * N:] = slots_padded
+    return buf
+
+
+def unpack_host_inputs(packed: jnp.ndarray, N: int, L: int):
+    """Traced inverse of pack_host_inputs. Returns (use_packed, R_pred,
+    t_pred, th, last_pos, last_ok, last_local_row, slots)."""
+    use_packed = packed[0] > 0
+    hdr = jax.lax.bitcast_convert_type(packed[1:14], jnp.float32)
+    R = hdr[:9].reshape(3, 3)
+    t = hdr[9:12]
+    th = hdr[12]
+    pos = jax.lax.bitcast_convert_type(
+        packed[14:14 + 3 * N], jnp.float32).reshape(N, 3)
+    okrow = packed[14 + 3 * N:14 + 4 * N]
+    ok = (okrow >> 16 & 1).astype(bool)
+    row = (okrow & 0xFFFF).astype(jnp.int32) - 1
+    slots = packed[14 + 4 * N:]
+    return use_packed, R, t, th, pos, ok, row, slots
+
+
 def build_fused_step(config):
     """Build the fused step closure for one camera/ORB configuration.
     Compiles per (N, L) shape pair (keypoint budget x local-block bucket)."""

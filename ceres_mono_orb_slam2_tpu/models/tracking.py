@@ -94,6 +94,7 @@ class Tracking:
         self._pool = None
         self._fused_step = None
         self._frontend = None
+        self._dummy_cache = {}
         self.n_fused_frames = 0
 
         # Pipelined mode (opt-in): dispatch frame k's fused device step BEFORE
@@ -135,6 +136,14 @@ class Tracking:
     def grab_image(self, image: np.ndarray, timestamp: float):
         """Reference Tracking::GrabImageMonocular + Track()
         (Tracking.cc:154-383). Returns Tcw (4,4) or None if not tracked."""
+        # The reference tracks 8-bit grayscale (CV_8U after cvtColor,
+        # Tracking.cc:154-177); quantize float inputs (synthetic renderer)
+        # the same way. Besides parity this is the single biggest per-frame
+        # host->device transfer — uint8 is 4x less tunnel traffic than f32
+        # (measured 84 ms of upload per 480x640 f32 frame); the extractor
+        # casts back to f32 on device.
+        if image.dtype != np.uint8:
+            image = np.clip(image + 0.5, 0.0, 255.0).astype(np.uint8)
         # retained for the FrameDrawer (reference FrameDrawer::Update copies
         # the tracker's mImGray each frame, FrameDrawer.cc:183-221); one
         # reference, not a copy — only the CURRENT frame's image is held
@@ -207,25 +216,41 @@ class Tracking:
             @jax.jit
             def frontend(image, last_oct, last_angle, last_desc,
                          last_pos, last_ok, last_local_row,
-                         pR, pt, ppR, ppt, hR_pred, ht_pred, use_host_pred,
-                         pool_dev, slots_padded, bounds, th_local):
-                # constant-velocity prediction on device (host equivalent:
-                # _finish_track's velocity update + _fused_prepare).
-                # so3_project keeps the chained composition from compounding
-                # det(R) drift (the KNOWN_ISSUES frame-14 divergence would
-                # otherwise return through this exact multiply chain).
+                         pR, pt, ppR, ppt,
+                         packed_host, pool_dev, slots_padded, bounds,
+                         th_local):
+                # The serial path uploads ONE packed int32 buffer
+                # (pack_host_inputs: prediction + last-frame block + slots +
+                # radius; its [0] flag selects it) plus the image — every
+                # other tensor argument is a device-cached dummy. The chained
+                # (pipelined) path passes its device-resident tensors and a
+                # cached all-zero packed buffer (flag 0): prediction then
+                # comes from the on-device constant-velocity composition of
+                # the previous two poses. so3_project keeps the chained
+                # composition from compounding det(R) drift (the KNOWN_ISSUES
+                # frame-14 divergence would otherwise return through this
+                # exact multiply chain).
+                N = last_oct.shape[0]
+                L = slots_padded.shape[0]
+                (use_packed, hR, ht, hth, hpos, hok, hrow,
+                 hslots) = fused_track_mod.unpack_host_inputs(
+                    packed_host, N, L)
                 Rv = lie.so3_project(pR @ ppR.T)
                 tv = pt - Rv @ ppt
-                R_pred = jnp.where(use_host_pred, hR_pred,
-                                   lie.so3_project(Rv @ pR))
-                t_pred = jnp.where(use_host_pred, ht_pred, Rv @ pt + tv)
+                R_pred = jnp.where(use_packed, hR, lie.so3_project(Rv @ pR))
+                t_pred = jnp.where(use_packed, ht, Rv @ pt + tv)
+                last_pos = jnp.where(use_packed, hpos, last_pos)
+                last_ok = jnp.where(use_packed, hok, last_ok)
+                last_local_row = jnp.where(use_packed, hrow, last_local_row)
+                slots = jnp.where(use_packed, hslots, slots_padded)
+                th = jnp.where(use_packed, hth, th_local)
                 feats = extract_jit(image[None])
                 f1 = jax.tree_util.tree_map(lambda a: a[0], feats)
-                lblock = _pool_gather(*pool_dev, slots_padded)
+                lblock = _pool_gather(*pool_dev, slots)
                 out = step(f1.xy, f1.octave, f1.angle, f1.desc, f1.valid,
                            last_oct, last_angle, last_desc,
                            last_pos, last_ok, last_local_row, R_pred, t_pred,
-                           *lblock, bounds, th_local)
+                           *lblock, bounds, th)
                 # pack the host-bound control outputs INSIDE the program:
                 # one fetched buffer instead of 14 (each costs its own RPC
                 # through the remote-TPU tunnel)
@@ -233,6 +258,29 @@ class Tracking:
 
             self._frontend = frontend
         return self._frontend
+
+    def _frontend_dummies(self, N: int, L: int):
+        """Device-resident dummy tensors for the unified frontend's unused
+        lane (serial frames: the chained-path tensor args; chained frames:
+        the packed host buffer). Cached per shape — numpy arguments would
+        re-upload on every call."""
+        key = (N, L)
+        d = self._dummy_cache.get(key)
+        if d is None:
+            from ceres_mono_orb_slam2_tpu.models.fused_track import HOST_IN_HEADER
+
+            d = {
+                "pos0": jnp.zeros((N, 3), jnp.float32),
+                "ok0": jnp.zeros((N,), bool),
+                "row0": jnp.full((N,), -1, jnp.int32),
+                "slots0": jnp.zeros((L,), jnp.int32),
+                "eye": jnp.eye(3, dtype=jnp.float32),
+                "zero": jnp.zeros((3,), jnp.float32),
+                "packed0": jnp.zeros((HOST_IN_HEADER + 4 * N + L,), jnp.int32),
+                "th1": jnp.float32(1.0),
+            }
+            self._dummy_cache[key] = d
+        return d
 
     # host-side prediction dummies for the unified frontend's device branch
     _EYE3 = np.eye(3, dtype=np.float32)
@@ -344,15 +392,22 @@ class Tracking:
         # reads the same snapshot (nothing changes in between).
         ids_snap = np.full(L, -1, np.int64)
         ids_snap[: len(slots)] = pool.id_of[slots]
-        # host leaves stay numpy: the multi-stream driver stacks them across
-        # streams into ONE host->device transfer (every separate jnp.asarray
-        # is its own RPC through the remote-TPU tunnel); the single-stream
-        # path converts in _fused_finish
+        # ONE packed int32 buffer carries every per-frame host->device value
+        # (fused_track.pack_host_inputs); the image is the only other upload.
+        # Host leaves stay numpy: the multi-stream driver stacks them across
+        # streams into ONE transfer each; the single-stream path converts in
+        # _fused_finish. `raw` keeps the unpacked pieces for the non-jittable
+        # (GeoExtractor) fallback, which calls the fused step directly.
+        from ceres_mono_orb_slam2_tpu.models import fused_track as _ft
+
+        packed_host = _ft.pack_host_inputs(
+            R_pred, t_pred, th_local, last_pos, last_ok, last_local_row,
+            slots_padded)
+        raw = (last_pos, last_ok, last_local_row, R_pred, t_pred, th_local)
         args = (image, lf.j_octave, lf.j_angle, lf.j_desc,
-                last_pos, last_ok, last_local_row,
-                R_pred, t_pred,
-                pool.dev, slots_padded, self.j_bounds, th_local)
-        aux = (t0, lf, pool, local_kfs, slots, slots_padded, timestamp, ids_snap)
+                packed_host, pool.dev, self.j_bounds)
+        aux = (t0, lf, pool, local_kfs, slots, slots_padded, timestamp,
+               ids_snap, raw)
         return args, aux
 
     @staticmethod
@@ -378,24 +433,29 @@ class Tracking:
         self._fused_finish(args, aux)
 
     def _fused_finish(self, args, aux):
-        """Single-stream phase 2+3: one frontend device call, one control
-        device_get, host bookkeeping."""
-        (image, last_oct, last_angle, last_desc, last_pos, last_ok,
-         last_local_row, R_pred, t_pred, pool_dev, slots_padded, bounds,
-         th_local) = args
+        """Single-stream phase 2+3: one frontend device call (two uploads:
+        image + packed host inputs; all other tensor args are device-cached
+        dummies), one packed control device_get, host bookkeeping."""
+        (image, last_oct, last_angle, last_desc, packed_host, pool_dev,
+         bounds) = args
         frontend = self._ensure_frontend(image.shape[-2], image.shape[-1])
         if frontend is not None:
+            N = last_oct.shape[0]
+            slots_padded = aux[5]
+            d = self._frontend_dummies(N, len(slots_padded))
             out, feats, packed = frontend(
                 jnp.asarray(image), last_oct, last_angle, last_desc,
-                jnp.asarray(last_pos), jnp.asarray(last_ok),
-                jnp.asarray(last_local_row),
-                self._EYE3, self._ZERO3, self._EYE3, self._ZERO3,
-                jnp.asarray(R_pred), jnp.asarray(t_pred), np.bool_(True),
-                pool_dev, jnp.asarray(slots_padded), bounds, th_local,
+                d["pos0"], d["ok0"], d["row0"],
+                d["eye"], d["zero"], d["eye"], d["zero"],
+                jnp.asarray(packed_host),
+                pool_dev, d["slots0"], bounds, d["th1"],
             )
         else:  # non-jittable frontend: separate extract + gather dispatches
             from ceres_mono_orb_slam2_tpu.models.device_map import _pool_gather
 
+            (last_pos, last_ok, last_local_row, R_pred, t_pred,
+             th_local) = aux[8]
+            slots_padded = aux[5]
             feats = self.extractor.extract(image)
             feats = jax.tree_util.tree_map(lambda a: a[0], feats)
             lblock = _pool_gather(*pool_dev, jnp.asarray(slots_padded))
@@ -417,7 +477,8 @@ class Tracking:
         _fused_control_outputs. Call under map.update_lock."""
         from ceres_mono_orb_slam2_tpu.models import fused_track
 
-        (t0, lf, pool, local_kfs, slots, slots_padded, timestamp, ids_snap) = aux
+        (t0, lf, pool, local_kfs, slots, slots_padded, timestamp,
+         ids_snap) = aux[:8]
         (R2, t2, m1_idx, m1v, inl1, n1, ninl1, m2_idx, m2v, visible,
          assoc, inl2, ninl2, h_valid) = fused_track.unpack_control(
             host, len(slots_padded))
@@ -573,10 +634,14 @@ class Tracking:
             def chained(image, p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
                         pR, pt, ppR, ppt, pool_dev, slots_padded, bounds,
                         th_local):
+                # cached all-zero packed buffer: flag 0 selects the device
+                # tensor lane (on-device constant-velocity prediction)
+                d = self._frontend_dummies(int(p_oct.shape[0]),
+                                           int(slots_padded.shape[0]))
                 return frontend(
                     image, p_oct, p_angle, p_desc, p_pos, p_ok, p_row,
-                    pR, pt, ppR, ppt, self._EYE3, self._ZERO3,
-                    np.bool_(False), pool_dev, slots_padded, bounds, th_local)
+                    pR, pt, ppR, ppt, d["packed0"],
+                    pool_dev, slots_padded, bounds, th_local)
 
             self._chained = chained
         return self._chained
@@ -592,17 +657,20 @@ class Tracking:
             return False
         frontend = self._ensure_frontend(h, w)
         args, aux = self._fused_prepare(image, timestamp)
-        (_, l_oct, l_angle, l_desc, last_pos, last_ok, last_local_row,
-         R_pred, t_pred, pool_dev, slots_padded, bounds, th_local) = args
-        (t0, lf, pool, local_kfs, slots, _sp, ts, ids_snap) = aux
+        (_, l_oct, l_angle, l_desc, packed_host, pool_dev, bounds) = args
+        (t0, lf, pool, local_kfs, slots, slots_padded, ts, ids_snap,
+         _raw) = aux
+        N = l_oct.shape[0]
+        d = self._frontend_dummies(N, len(slots_padded))
+        # chained frames need the local-block slots as a device tensor (the
+        # serial-style start dispatch reads them from the packed buffer)
         slots_dev = jnp.asarray(slots_padded)
         out, feats, packed = frontend(
             jnp.asarray(image), l_oct, l_angle, l_desc,
-            jnp.asarray(last_pos), jnp.asarray(last_ok),
-            jnp.asarray(last_local_row),
-            self._EYE3, self._ZERO3, self._EYE3, self._ZERO3,
-            jnp.asarray(R_pred), jnp.asarray(t_pred), np.bool_(True),
-            pool_dev, slots_dev, bounds, th_local)
+            d["pos0"], d["ok0"], d["row0"],
+            d["eye"], d["zero"], d["eye"], d["zero"],
+            jnp.asarray(packed_host),
+            pool_dev, d["slots0"], bounds, d["th1"])
         ctl = self._start_copies(packed)
         import time as _time
         self._pending = dict(
@@ -610,7 +678,7 @@ class Tracking:
             disp_s=_time.perf_counter() - t0,
             pool=pool, local_kfs=local_kfs, slots=slots,
             slots_padded=slots_padded, slots_dev=slots_dev,
-            pool_dev=pool_dev, th_local=th_local, ids_snap=ids_snap,
+            pool_dev=pool_dev, th_local=d["th1"], ids_snap=ids_snap,
             ppR=jnp.asarray(lf.Rcw), ppt=jnp.asarray(lf.tcw),
             epoch=self.map.map_epoch, nkf=self.map.n_keyframes(),
             corr=self.map.correction_epoch)

@@ -79,9 +79,19 @@ class MultiStreamSLAM:
             S = self.n_streams
 
             @jax.jit
-            def frontend(images, l_oct, l_angle, l_desc, l_pos, l_ok, l_row,
-                         R_pred, t_pred, pools, slots, bounds, th):
+            def frontend(images, l_oct, l_angle, l_desc, packed_hosts,
+                         pools, bounds):
                 feats = extract_jit(images)  # (S, ...) batched extraction
+                N = l_oct[0].shape[0]
+                # per-stream unpack of the packed host-input buffers (ONE
+                # stacked (S, P) upload instead of 7 arrays x S streams);
+                # L from the layout: P = HOST_IN_HEADER + 4N + L
+                L = (packed_hosts.shape[1]
+                     - fused_track.HOST_IN_HEADER - 4 * N)
+                ins = jax.vmap(
+                    lambda p: fused_track.unpack_host_inputs(p, N, L)
+                )(packed_hosts)
+                (_flag, R_pred, t_pred, th, l_pos, l_ok, l_row, slots) = ins
                 # per-stream local-map gathers (pool caps may differ); the
                 # gathered L-blocks share shapes and stack for the vmap
                 lblocks = [_pool_gather(*pools[s], slots[s]) for s in range(S)]
@@ -116,6 +126,10 @@ class MultiStreamSLAM:
         Tcw (4,4) or None, exactly like S track_monocular calls."""
         S = self.n_streams
         assert len(images) == S and len(timestamps) == S
+        # 8-bit entry like Tracking.grab_image (4x less upload per stream)
+        images = [img if img.dtype == np.uint8
+                  else np.clip(img + 0.5, 0.0, 255.0).astype(np.uint8)
+                  for img in images]
         results = [None] * S
 
         preps = [None] * S
@@ -136,21 +150,16 @@ class MultiStreamSLAM:
             fill = preps[batch_idx[0]][0]
             lane = [preps[i][0] if preps[i] is not None else fill
                     for i in range(S)]
-            # host leaves stack into ONE transfer each; device leaves
-            # (last-frame tensors, pools, bounds) pass through as lists
+            # host leaves (image, packed inputs) stack into ONE transfer
+            # each; device leaves (last-frame tensors, pools, bounds) pass
+            # through as lists
             outs, fouts, packs = frontend(
                 jnp.asarray(np.stack([a[0] for a in lane])),
                 [a[1] for a in lane], [a[2] for a in lane],
                 [a[3] for a in lane],
                 jnp.asarray(np.stack([a[4] for a in lane])),
-                jnp.asarray(np.stack([a[5] for a in lane])),
-                jnp.asarray(np.stack([a[6] for a in lane])),
-                jnp.asarray(np.stack([a[7] for a in lane])),
-                jnp.asarray(np.stack([a[8] for a in lane])),
-                [a[9] for a in lane],
-                jnp.asarray(np.stack([a[10] for a in lane])),
-                lane[0][11],
-                jnp.asarray(np.stack([a[12] for a in lane])),
+                [a[5] for a in lane],
+                lane[0][6],
             )
             # ONE device_get for every batched stream's packed control buffer
             ctl = jax.device_get(tuple(packs[i] for i in batch_idx))
