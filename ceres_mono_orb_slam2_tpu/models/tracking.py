@@ -436,8 +436,11 @@ class Tracking:
         """Single-stream phase 2+3: one frontend device call (two uploads:
         image + packed host inputs; all other tensor args are device-cached
         dummies), one packed control device_get, host bookkeeping."""
+        import time as _time
+
         (image, last_oct, last_angle, last_desc, packed_host, pool_dev,
          bounds) = args
+        t_disp0 = _time.perf_counter()
         frontend = self._ensure_frontend(image.shape[-2], image.shape[-1])
         if frontend is not None:
             N = last_oct.shape[0]
@@ -468,7 +471,16 @@ class Tracking:
                 *lblock, bounds, th_local,
             )
             packed = self._fused_control_outputs(out, feats)
+        t_fetch0 = _time.perf_counter()
         host = jax.device_get(packed)
+        t_fetch1 = _time.perf_counter()
+        # phase timings land in this frame's stats entry (_fused_consume):
+        # prepare = host-side arg marshalling, dispatch = jit call (arg
+        # upload + async launch), fetch = blocking control device_get (this
+        # is where device compute + tunnel RTT surface)
+        self._phase_ms = {"prepare_ms": (t_disp0 - aux[0]) * 1e3,
+                          "dispatch_ms": (t_fetch0 - t_disp0) * 1e3,
+                          "fetch_ms": (t_fetch1 - t_fetch0) * 1e3}
         self._fused_consume(aux, out, feats, host)
 
     def _fused_consume(self, aux, out, feats, host):
@@ -488,7 +500,8 @@ class Tracking:
         self.current = f
         self._stat = {"frame_id": f.id, "timestamp": f.timestamp,
                       "n_kp": int(h_valid.sum()), "method": "fused",
-                      "local_kfs": len(local_kfs), "local_points": int(len(slots))}
+                      "local_kfs": len(local_kfs), "local_points": int(len(slots)),
+                      **getattr(self, "_phase_ms", {})}
 
         n1 = int(n1)
         ninl1 = int(ninl1)
