@@ -180,10 +180,14 @@ def build_fused_step(config):
     """Build the fused step closure for one camera/ORB configuration.
     Compiles per (N, L) shape pair (keypoint budget x local-block bucket)."""
     cam = config.camera
-    K = jnp.asarray(cam.K)
-    dist = jnp.asarray(cam.dist_coeffs) if cam.has_distortion else None
-    scales = jnp.asarray(config.orb.scale_factors)
-    inv_sigma2 = jnp.asarray(config.orb.inv_level_sigma2.astype(np.float32))
+    # Closure constants stay NUMPY: device-array constants are fetched
+    # device->host at every jit lowering (per process start), and that fetch
+    # through the axon tunnel can cost seconds each (see ops/orb/extractor.py
+    # _bin_tap_table note). Host arrays embed in the MLIR for free.
+    K = np.asarray(cam.K, np.float32)
+    dist = np.asarray(cam.dist_coeffs, np.float32) if cam.has_distortion else None
+    scales = np.asarray(config.orb.scale_factors, np.float32)
+    inv_sigma2 = config.orb.inv_level_sigma2.astype(np.float32)
     log_scale = float(np.log(config.orb.scale_factor))
     n_levels = config.orb.n_levels
 
@@ -192,7 +196,7 @@ def build_fused_step(config):
         """SearchByProjection vs last frame (ORBmatcher.cc:1161-1271) for one
         static window width; `d` is the shared (N, N) Hamming matrix (computed
         once for both widths — the matmul is the expensive part)."""
-        r = th * scales[last_oct]
+        r = th * jnp.asarray(scales)[last_oct]
         du = jnp.abs(pr_uv[:, 0:1] - und[None, :, 0])
         dv = jnp.abs(pr_uv[:, 1:2] - und[None, :, 1])
         in_w = (du <= r[:, None]) & (dv <= r[:, None])
@@ -210,7 +214,7 @@ def build_fused_step(config):
         """SearchByProjection overload #1 (ORBmatcher.cc:42-119) with a
         TRACED radius multiplier (the reference widens th to 5 right after a
         relocalization, Tracking.cc:808-812)."""
-        r = matcher.radius_by_viewing_cos(viewcos) * th * scales[level]
+        r = matcher.radius_by_viewing_cos(viewcos) * th * jnp.asarray(scales)[level]
         du = jnp.abs(uv[:, 0:1] - und[None, :, 0])
         dv = jnp.abs(uv[:, 1:2] - und[None, :, 1])
         in_w = (du <= r[:, None]) & (dv <= r[:, None])
@@ -241,7 +245,7 @@ def build_fused_step(config):
         und = camera.undistort_points(cur_xy, K, dist) if dist is not None else cur_xy
         cur_bits = matcher.unpack_bits_pm1(cur_desc)
         last_bits = matcher.unpack_bits_pm1(last_desc)
-        w = inv_sigma2[cur_oct]
+        w = jnp.asarray(inv_sigma2)[cur_oct]
 
         # ---- stage 1: motion-model projection match + pose solve ----------
         Xc = last_pos @ R_pred.T + t_pred

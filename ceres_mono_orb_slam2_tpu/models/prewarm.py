@@ -1,0 +1,199 @@
+"""Startup pre-warm of every steady-state jit shape bucket.
+
+The reference compiles once at build time; an XLA system compiles per
+(program, shape) pair at first call. Left to first use, shape-bucket growth
+(device-pool dirty sets, fuse candidate blocks, local-BA windows) injects
+compile/cache-load stalls into the live loop — round 3 measured 28-122
+post-warmup compiles, each a 30 ms..3 s frame stall. `prewarm()` executes a
+dummy call for every bucket the steady-state tracking+mapping loop can
+reach, so the in-process jit caches are fully populated before frame 0
+(first-ever run pays XLA once; later runs load from the persistent
+compilation cache configured in __init__.py).
+
+Covers the per-frame tracking path (unified frontend), the per-keyframe
+mapping path (pool scatter deltas, reverse/forward fuse, triangulation,
+local BA) and the tracking fallbacks. Loop-closure solves (sim3, essential
+graph, GBA) are event-scale programs warmed separately by the endurance
+harness when a vocabulary is configured.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
+
+
+def _pow2_lattice(lo: int, hi: int):
+    out = []
+    b = lo
+    while b <= hi:
+        out.append(b)
+        b *= 2
+    return out
+
+
+def prewarm(slam, h: int, w: int) -> dict:
+    """Execute one dummy call per reachable (program, shape-bucket) pair.
+    Returns a dict of timings. Safe to call on a fresh MonoSLAM only (it
+    touches the tracker's pool); call BEFORE the first frame."""
+    from ceres_mono_orb_slam2_tpu.models import fused_track
+    from ceres_mono_orb_slam2_tpu.models.device_map import (
+        _pool_gather, _pool_scatter)
+    from ceres_mono_orb_slam2_tpu.models.localmapping import _fuse_into_device
+    from ceres_mono_orb_slam2_tpu.ops import mapping_batch, optim
+
+    t_start = time.perf_counter()
+    tr = slam.tracker
+    cfg = slam.config
+    sh = cfg.shapes
+    done = {}
+
+    def mark(name):
+        done[name] = round(time.perf_counter() - t_start, 2)
+
+    # image bounds are normally derived from the first frame (build_frame)
+    if tr.bounds is None:
+        from ceres_mono_orb_slam2_tpu.models.frame import compute_image_bounds
+
+        tr.bounds = compute_image_bounds(tr.cam, h, w)
+        tr.j_bounds = jnp.asarray(tr.bounds)
+        tr.map.image_bounds = tr.bounds
+
+    # ---- frontend: extract + fused step + control pack, ONE program -------
+    pool = tr._ensure_pool()
+    pool.sync()
+    frontend = tr._ensure_frontend(h, w)
+    feats = tr.extractor.extract(np.zeros((h, w), np.uint8))
+    jax.block_until_ready(feats.xy)
+    N = int(feats.valid.shape[-1])
+    L = sh.max_local_points
+    cap = pool.cap
+    if frontend is not None:
+        d = tr._frontend_dummies(N, L)
+        zoct = jnp.zeros((N,), jnp.int32)
+        zang = jnp.zeros((N,), jnp.float32)
+        zdesc = jnp.zeros((N, 32), jnp.uint8)
+        packed = fused_track.pack_host_inputs(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0,
+            np.zeros((N, 3), np.float32), np.zeros(N, bool),
+            np.full(N, -1, np.int32), np.full(L, cap, np.int32))
+        out = frontend(
+            jnp.zeros((h, w), jnp.uint8), zoct, zang, zdesc,
+            d["pos0"], d["ok0"], d["row0"],
+            d["eye"], d["zero"], d["eye"], d["zero"],
+            jnp.asarray(packed), pool.dev, d["slots0"], tr.j_bounds, d["th1"])
+        jax.block_until_ready(out)
+    mark("frontend")
+
+    # ---- device pool: delta scatter at every dirty-set bucket -------------
+    # dummy pool mirrors of the live capacity (the real pool.dev is donated
+    # by _pool_scatter, so warm with throwaway copies)
+    for D in _pow2_lattice(64, cap):
+        dev = (jnp.zeros((cap + 1, 3), jnp.float32),
+               jnp.zeros((cap + 1, 3), jnp.float32),
+               jnp.zeros((cap + 1,), jnp.float32),
+               jnp.zeros((cap + 1,), jnp.float32),
+               jnp.zeros((cap + 1, 32), jnp.uint8),
+               jnp.zeros((cap + 1,), bool))
+        r = _pool_scatter(
+            *dev, jnp.full((D,), cap, jnp.int32),
+            jnp.zeros((D, 3), jnp.float32), jnp.zeros((D, 3), jnp.float32),
+            jnp.zeros((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            jnp.zeros((D, 32), jnp.uint8), jnp.zeros((D,), bool))
+        jax.block_until_ready(r)
+        del r, dev
+    jax.block_until_ready(_pool_gather(
+        *pool.dev, jnp.full((L,), cap, jnp.int32)))
+    mark("pool_scatter")
+
+    # ---- mapper: reverse fuse (_fuse_into) at every candidate bucket ------
+    jK = jnp.asarray(cfg.camera.K.astype(np.float32))
+    log_scale = jnp.float32(np.log(cfg.orb.scale_factor))
+    sfs = jnp.asarray(cfg.orb.scale_factors)
+    is2 = jnp.asarray(cfg.orb.inv_level_sigma2.astype(np.float32))
+    ls2 = jnp.asarray(cfg.orb.level_sigma2.astype(np.float32))
+    nlv = cfg.orb.n_levels
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero3 = jnp.zeros((3,), jnp.float32)
+    wide = jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32))
+    kp_und = jnp.zeros((N, 2), jnp.float32)
+    kp_oct = jnp.zeros((N,), jnp.int32)
+    kp_desc = jnp.zeros((N, 32), jnp.uint8)
+    kp_ok = jnp.zeros((N,), bool)
+    for Mb in _pow2_lattice(64, max(64, min(L, 4096))):
+        r = _fuse_into_device(
+            eye, zero3, jK, wide,
+            jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
+            jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
+            jnp.zeros((Mb, 32), jnp.uint8), jnp.zeros((Mb,), bool),
+            kp_und, kp_oct, kp_desc, kp_ok,
+            log_scale, sfs, is2, n_levels=nlv, th=3.0)
+        jax.block_until_ready(r)
+    mark("fuse_into")
+
+    # ---- mapper: forward fuse at every shared-block bucket ----------------
+    lm = slam.local_mapper
+    B = lm.FUSE_BATCH
+    for Mb in _pow2_lattice(64, max(64, _pow2_lattice(64, N)[-1])):
+        r = mapping_batch.fuse_into_targets(
+            jK, jnp.tile(eye, (B, 1, 1)), jnp.zeros((B, 3), jnp.float32),
+            jnp.zeros((B, N, 2), jnp.float32), jnp.zeros((B, N), jnp.int32),
+            jnp.zeros((B, N, 32), jnp.uint8), jnp.zeros((B, N), bool),
+            jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
+            jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
+            jnp.zeros((Mb, 32), jnp.uint8), jnp.zeros((B, Mb), bool),
+            log_scale, nlv, sfs, is2, bounds=tr.j_bounds, th=3.0)
+        jax.block_until_ready(r)
+    mark("fuse_forward")
+
+    # ---- mapper: batched triangulation (one fixed shape) ------------------
+    TB = lm.TRI_BATCH
+    r = mapping_batch.triangulate_with_neighbors(
+        jK, jnp.asarray(np.linalg.inv(cfg.camera.K).astype(np.float32)),
+        eye, zero3, kp_und, kp_oct, zang, kp_desc, kp_ok,
+        jnp.tile(eye, (TB, 1, 1)), jnp.zeros((TB, 3), jnp.float32),
+        jnp.zeros((TB, N, 2), jnp.float32), jnp.zeros((TB, N), jnp.int32),
+        jnp.zeros((TB, N), jnp.float32), jnp.zeros((TB, N, 32), jnp.uint8),
+        jnp.zeros((TB, N), bool), jnp.zeros((TB,), bool),
+        ls2, sfs, jnp.float32(1.5 * cfg.orb.scale_factor))
+    jax.block_until_ready(r)
+    mark("triangulate")
+
+    # ---- local BA: (pose, point, obs) bucket lattice x 2 iteration plans --
+    P_hi = max(8, _pow2_lattice(8, max(8, 2 * sh.max_local_keyframes))[-1])
+    for P in _pow2_lattice(8, P_hi):
+        for MM in _pow2_lattice(256, max(256, sh.max_ba_points)):
+            for OO in _pow2_lattice(1024, max(1024, sh.max_ba_obs)):
+                if P * MM > (1 << 21):
+                    continue  # the CG guard switches solver there
+                ba_args = (
+                    jK, jnp.tile(eye, (P, 1, 1)), jnp.zeros((P, 3), jnp.float32),
+                    jnp.zeros((MM, 3), jnp.float32),
+                    jnp.zeros((OO,), jnp.int32), jnp.zeros((OO,), jnp.int32),
+                    jnp.zeros((OO, 2), jnp.float32), jnp.ones((OO,), jnp.float32),
+                    jnp.zeros((OO,), bool), jnp.ones((P,), bool),
+                    jnp.zeros((MM,), bool))
+                r = optim.bundle_adjustment(*ba_args, iters_huber=5,
+                                            iters_trimmed=5)
+                r2 = optim.bundle_adjustment(*ba_args, iters_huber=0,
+                                             iters_trimmed=5)
+                jax.block_until_ready((r.R, r2.R))
+    mark("local_ba")
+
+    # ---- tracking fallbacks: standalone pose solve at frame size ----------
+    r = optim.pose_optimization(
+        jK, eye, zero3, jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros((N, 2), jnp.float32), jnp.ones((N,), jnp.float32),
+        jnp.zeros((N,), bool))
+    jax.block_until_ready(r.R)
+    mark("pose_opt")
+
+    done["total_s"] = round(time.perf_counter() - t_start, 2)
+    log.info("prewarm done: %s", done)
+    return done

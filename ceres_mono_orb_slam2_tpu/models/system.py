@@ -124,6 +124,15 @@ class MonoSLAM:
             _time.sleep(0.002)
         return False
 
+    def prewarm(self, h: int, w: int) -> dict:
+        """Compile every steady-state jit shape bucket before frame 0 (the
+        reference compiles once at build time, main.cc has no warmup; see
+        models/prewarm.py). Returns phase timings. First-ever run pays XLA
+        once; afterwards the persistent compile cache makes this seconds."""
+        from ceres_mono_orb_slam2_tpu.models.prewarm import prewarm
+
+        return prewarm(self, h, w)
+
     def track_monocular(self, image: np.ndarray, timestamp: float):
         """Reference TrackMonocular (MonoORBSlam.cc:103-141). Returns Tcw
         (4,4) numpy or None."""

@@ -185,7 +185,13 @@ class Tracking:
         if self._pool is None:
             from ceres_mono_orb_slam2_tpu.models.device_map import DeviceMapPool
 
-            self._pool = DeviceMapPool(self.map)
+            # initial capacity covers the expected live-map scale so the
+            # pool (whose row count is baked into the compiled frontend)
+            # doesn't grow mid-run — a growth doubles the capacity and
+            # forces ONE frontend recompile (defeats prewarm)
+            cap = self.config.shapes.device_pool_cap or max(
+                4096, 4 * self.config.shapes.max_local_points)
+            self._pool = DeviceMapPool(self.map, cap=cap)
         return self._pool
 
     def _ensure_frontend(self, h: int, w: int):

@@ -25,7 +25,10 @@ import numpy as np
 TH_LOW = 50
 TH_HIGH = 100
 HISTO_LENGTH = 30
-BIG = jnp.int32(1 << 20)
+# np (host) scalar, not jnp: a device-array constant closed over by traced
+# code is fetched device->host at every lowering, which is slow over the
+# axon tunnel (see ops/orb/extractor.py _bin_tap_table note).
+BIG = np.int32(1 << 20)
 
 
 def unpack_bits_pm1(desc_u8: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:

@@ -136,7 +136,12 @@ class ORBExtractor:
             ry = np.round(pts[:, 0] * sa + pts[:, 1] * ca).astype(np.int32)
             tables.append((ry + DESC_R) * side + (rx + DESC_R))
         tab = np.stack(tables)  # (A, 512)
-        self._bin_tap_table = jnp.asarray(tab)
+        # KEEP AS NUMPY: constants closed over by a traced function must live
+        # on the host. A jax.Array closure constant is fetched device->host at
+        # every lowering (per process), and under the axon tunnel that fetch
+        # costs seconds (measured 46 s for this 61 KB table); a numpy constant
+        # embeds in the MLIR for free.
+        self._bin_tap_table = tab
         self._extract_jit = functools.lru_cache(maxsize=8)(self._build)
 
     def _build(self, h: int, w: int):
@@ -146,12 +151,15 @@ class ORBExtractor:
         scales = [float(s) for s in self.scale_factors]
         tap_table = self._bin_tap_table  # (A, 512) compile-time-constant indices
 
-        byte_weights = jnp.asarray(1 << np.arange(8, dtype=np.uint32), jnp.uint32)
+        # All closure constants stay numpy (see _bin_tap_table note above):
+        # lowering embeds host arrays directly; device arrays would be fetched
+        # through the tunnel at every process start.
+        byte_weights = (1 << np.arange(8, dtype=np.uint32)).astype(np.uint32)
         side2 = (2 * DESC_R + 1) ** 2
         mx, my = kernels.ic_angle_mask()
-        moment_masks = jnp.asarray(
-            np.stack([mx.reshape(-1), my.reshape(-1)], axis=1), jnp.float32
-        )  # (961, 2)
+        moment_masks = np.stack(
+            [mx.reshape(-1), my.reshape(-1)], axis=1
+        ).astype(np.float32)  # (961, 2)
 
         def level_keypoints_and_patches(img_l, n_keep, lv):
             """Per-level detection + patch gathers; angle/descriptor math runs

@@ -54,10 +54,13 @@ def make_multistream_step(config, h: int, w: int):
     and the 4-round trimmed LM pose solve — one jit, leading stream axis."""
     extractor = ORBExtractor(config.orb)
     extract = extractor._extract_jit(h, w)
-    K = jnp.asarray(config.camera.K)
-    scales = jnp.asarray(config.orb.scale_factors)
-    inv_sigma2 = jnp.asarray(config.orb.inv_level_sigma2)
-    bounds = jnp.asarray(np.array([0, w, 0, h], np.float32))
+    # closure constants stay NUMPY (device-array closures are fetched
+    # device->host at every lowering; slow over the tunnel — see
+    # ops/orb/extractor.py _bin_tap_table)
+    K = np.asarray(config.camera.K, np.float32)
+    scales = np.asarray(config.orb.scale_factors, np.float32)
+    inv_sigma2 = np.asarray(config.orb.inv_level_sigma2, np.float32)
+    bounds = np.array([0, w, 0, h], np.float32)
     log_scale = float(np.log(config.orb.scale_factor))
     n_levels = config.orb.n_levels
 
@@ -70,7 +73,7 @@ def make_multistream_step(config, h: int, w: int):
         )
         idx, dist, mvalid = matcher.search_by_projection_points(
             xy, octv, kp_bits, valid, jnp.ones_like(valid),
-            uv, level, viewcos, map_bits, visible, scales, th=3.0,
+            uv, level, viewcos, map_bits, visible, jnp.asarray(scales), th=3.0,
         )
         n_kp = xy.shape[0]
         # scatter matched map-point positions into keypoint slots; invalid
@@ -81,7 +84,8 @@ def make_multistream_step(config, h: int, w: int):
         # the LIVE tracker's solver configuration (25 iters x 4 trimming
         # rounds with convergence early-exit) — the benchmark measures what
         # the production path actually runs
-        res = optim.pose_optimization(K, Rcw, tcw, pos_kp, xy, inv_sigma2[octv], ok)
+        res = optim.pose_optimization(
+            K, Rcw, tcw, pos_kp, xy, jnp.asarray(inv_sigma2)[octv], ok)
         return res.R, res.t, res.n_inliers, jnp.sum(mvalid.astype(jnp.int32))
 
     def step(images, state: StreamState) -> StepResult:

@@ -154,6 +154,11 @@ class StaticShapes:
     # 500-frame run with an 8192 cap). The (keypoints x points) Hamming
     # matmul at 16384 points is ~0.2 ms on the MXU — keep this generous.
     max_local_points: int = 16384
+    # Device map pool rows (0 = auto: max(4096, 4 * max_local_points)). The
+    # pool's row count is an ARGUMENT SHAPE of the compiled frontend, so a
+    # mid-run pool growth forces one frontend recompile; size it to the
+    # expected live-map peak up front (KITTI-00 scale: ~32768).
+    device_pool_cap: int = 0
     max_local_keyframes: int = 96  # local BA window incl. fixed KFs (ref caps local map at 80)
     max_ba_points: int = 8192  # point blocks in one local BA solve
     max_ba_obs: int = 32768  # observations in one local BA solve
