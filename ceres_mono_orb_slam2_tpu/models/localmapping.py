@@ -356,7 +356,9 @@ class LocalMapping:
             epoch = m.map_epoch
             B, N = self.FUSE_BATCH, len(targets[0].kp_und)
             M = len(mp_ids)
-            Mb = bucket(M)
+            # cur_mps <= the keypoint budget, so padding to the feature
+            # bucket gives ONE forward-fuse shape per session (prewarmable)
+            Mb = max(bucket(M), bucket(N, 256))
             garr = np.asarray(mp_ids, np.int64)  # one table gather per field
             pos = pad_rows(m.mp_pos[garr], Mb)
             desc = pad_rows(m.mp_desc[garr], Mb)
@@ -589,7 +591,14 @@ class LocalMapping:
         window selection + padded observation arrays. Returns None when the
         window is degenerate."""
         m = self.map
-        local_ids = [kf.id] + kf.best_covisible(len(kf.ordered_neighbors))
+        # free window: current KF + covisibles, capped at
+        # StaticShapes.max_local_keyframes (the reference takes ALL covisibles,
+        # CeresOptimizer.cc:351-360, but caps the tracking local map at 80,
+        # Tracking.cc:922-925; the cap here bounds the BA pose-bucket family
+        # so prewarm can cover it — the dropped KFs are the weakest-covisible)
+        n_free = max(1, self.config.shapes.max_local_keyframes - 1)
+        local_ids = [kf.id] + kf.best_covisible(
+            min(len(kf.ordered_neighbors), n_free))
         local_ids = [k for k in local_ids if k in m.keyframes and not m.keyframes[k].bad]
         local_set = set(local_ids)
 
@@ -614,6 +623,20 @@ class LocalMapping:
                         fixed_ids.append(ok_id)
                         fixed_set.add(ok_id)
 
+        # cap the FIXED set at the session pose envelope (the free window is
+        # already capped above): keep the fixed keyframes with the most
+        # window-point observations — dropping a weakly-connected fixed
+        # observer only removes its few constraint rows (the reference keeps
+        # all observers, CeresOptimizer.cc:380-394; the cap is what bounds
+        # the BA pose-shape family to ONE prewarmed program)
+        max_fixed = 4 * self.config.shapes.max_local_keyframes - len(local_ids)
+        if len(fixed_ids) > max_fixed > 0:
+            counts = [
+                int(np.isin(m.keyframes[k].mp_ids, mp_arr,
+                            assume_unique=False).sum()) for k in fixed_ids]
+            order = np.argsort(counts)[::-1][:max_fixed]
+            fixed_ids = [fixed_ids[i] for i in sorted(order)]
+
         kf_ids = local_ids + fixed_ids
         kf_slot = {k: i for i, k in enumerate(kf_ids)}
 
@@ -636,9 +659,29 @@ class LocalMapping:
         if n_obs < 10:
             return None
 
-        P = bucket(len(kf_ids), 8)
-        MM = bucket(len(mp_ids), 256)
-        OO = bucket(n_obs, 1024)
+        # ONE dense-solve shape per session: pad every window to the
+        # config-derived maximum (free cap + typical fixed count, BA budgets)
+        # so steady state runs exactly TWO bundle_adjustment programs (the
+        # 5+5 and 0+5 iteration plans) — prewarm compiles both before frame 0
+        # and the live loop never compiles again. Padded poses are fixed,
+        # padded points/obs masked; the dense-Schur cost is linear-ish in the
+        # padding and the solve runs on the mapping worker, off the tracking
+        # critical path. Windows that overflow the session shape (or configs
+        # whose maximum would cross the CG guard) fall back to per-call pow2
+        # buckets — a rare one-time compile, amortized by the persistent
+        # compilation cache.
+        sh = self.config.shapes
+        P0 = bucket(4 * sh.max_local_keyframes, 8)
+        MM0 = bucket(sh.max_ba_points, 256)
+        OO0 = bucket(sh.max_ba_obs, 1024)
+        if P0 * MM0 <= (1 << 21):
+            P = max(bucket(len(kf_ids), 8), P0)
+            MM = max(bucket(len(mp_ids), 256), MM0)
+            OO = max(bucket(n_obs, 1024), OO0)
+        else:
+            P = bucket(len(kf_ids), 8)
+            MM = bucket(len(mp_ids), 256)
+            OO = bucket(n_obs, 1024)
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), np.float32)
         fixed = np.ones(P, bool)

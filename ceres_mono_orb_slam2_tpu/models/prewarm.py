@@ -74,11 +74,11 @@ def prewarm(slam, h: int, w: int) -> dict:
     N = int(feats.valid.shape[-1])
     L = sh.max_local_points
     cap = pool.cap
+    zoct = jnp.zeros((N,), jnp.int32)
+    zang = jnp.zeros((N,), jnp.float32)
+    zdesc = jnp.zeros((N, 32), jnp.uint8)
     if frontend is not None:
         d = tr._frontend_dummies(N, L)
-        zoct = jnp.zeros((N,), jnp.int32)
-        zang = jnp.zeros((N,), jnp.float32)
-        zdesc = jnp.zeros((N, 32), jnp.uint8)
         packed = fused_track.pack_host_inputs(
             np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0,
             np.zeros((N, 3), np.float32), np.zeros(N, bool),
@@ -126,7 +126,9 @@ def prewarm(slam, h: int, w: int) -> dict:
     kp_oct = jnp.zeros((N,), jnp.int32)
     kp_desc = jnp.zeros((N, 32), jnp.uint8)
     kp_ok = jnp.zeros((N,), bool)
-    for Mb in _pow2_lattice(64, max(64, min(L, 4096))):
+    # candidate sets reach the local-block scale (union of the fuse targets'
+    # bound points), so the lattice tops out at the local-points cap
+    for Mb in _pow2_lattice(64, max(4096, L)):
         r = _fuse_into_device(
             eye, zero3, jK, wide,
             jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
@@ -137,19 +139,22 @@ def prewarm(slam, h: int, w: int) -> dict:
         jax.block_until_ready(r)
     mark("fuse_into")
 
-    # ---- mapper: forward fuse at every shared-block bucket ----------------
+    # ---- mapper: forward fuse — ONE session shape (localmapping snaps the
+    # shared block to the feature bucket) -----------------------------------
+    from ceres_mono_orb_slam2_tpu.utils.padding import bucket as _bucket
+
     lm = slam.local_mapper
     B = lm.FUSE_BATCH
-    for Mb in _pow2_lattice(64, max(64, _pow2_lattice(64, N)[-1])):
-        r = mapping_batch.fuse_into_targets(
-            jK, jnp.tile(eye, (B, 1, 1)), jnp.zeros((B, 3), jnp.float32),
-            jnp.zeros((B, N, 2), jnp.float32), jnp.zeros((B, N), jnp.int32),
-            jnp.zeros((B, N, 32), jnp.uint8), jnp.zeros((B, N), bool),
-            jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
-            jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
-            jnp.zeros((Mb, 32), jnp.uint8), jnp.zeros((B, Mb), bool),
-            log_scale, nlv, sfs, is2, bounds=tr.j_bounds, th=3.0)
-        jax.block_until_ready(r)
+    Mb = _bucket(N, 256)
+    r = mapping_batch.fuse_into_targets(
+        jK, jnp.tile(eye, (B, 1, 1)), jnp.zeros((B, 3), jnp.float32),
+        jnp.zeros((B, N, 2), jnp.float32), jnp.zeros((B, N), jnp.int32),
+        jnp.zeros((B, N, 32), jnp.uint8), jnp.zeros((B, N), bool),
+        jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
+        jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
+        jnp.zeros((Mb, 32), jnp.uint8), jnp.zeros((B, Mb), bool),
+        log_scale, nlv, sfs, is2, bounds=tr.j_bounds, th=3.0)
+    jax.block_until_ready(r)
     mark("fuse_forward")
 
     # ---- mapper: batched triangulation (one fixed shape) ------------------
@@ -165,25 +170,30 @@ def prewarm(slam, h: int, w: int) -> dict:
     jax.block_until_ready(r)
     mark("triangulate")
 
-    # ---- local BA: (pose, point, obs) bucket lattice x 2 iteration plans --
-    P_hi = max(8, _pow2_lattice(8, max(8, 2 * sh.max_local_keyframes))[-1])
-    for P in _pow2_lattice(8, P_hi):
-        for MM in _pow2_lattice(256, max(256, sh.max_ba_points)):
-            for OO in _pow2_lattice(1024, max(1024, sh.max_ba_obs)):
-                if P * MM > (1 << 21):
-                    continue  # the CG guard switches solver there
-                ba_args = (
-                    jK, jnp.tile(eye, (P, 1, 1)), jnp.zeros((P, 3), jnp.float32),
-                    jnp.zeros((MM, 3), jnp.float32),
-                    jnp.zeros((OO,), jnp.int32), jnp.zeros((OO,), jnp.int32),
-                    jnp.zeros((OO, 2), jnp.float32), jnp.ones((OO,), jnp.float32),
-                    jnp.zeros((OO,), bool), jnp.ones((P,), bool),
-                    jnp.zeros((MM,), bool))
-                r = optim.bundle_adjustment(*ba_args, iters_huber=5,
-                                            iters_trimmed=5)
-                r2 = optim.bundle_adjustment(*ba_args, iters_huber=0,
-                                             iters_trimmed=5)
-                jax.block_until_ready((r.R, r2.R))
+    # ---- local BA: the ONE session dense-solve shape x 2 iteration plans --
+    # (localmapping._lba_build pads every window to exactly this shape; see
+    # its comment — overflow windows fall back to pow2 buckets, a rare
+    # one-time compile amortized by the persistent compilation cache)
+    P0 = _bucket(4 * sh.max_local_keyframes, 8)
+    MM0 = _bucket(sh.max_ba_points, 256)
+    OO0 = _bucket(sh.max_ba_obs, 1024)
+    if P0 * MM0 <= (1 << 21):
+        ba_tail = (
+            jnp.zeros((OO0,), jnp.int32), jnp.zeros((OO0,), jnp.int32),
+            jnp.zeros((OO0, 2), jnp.float32), jnp.ones((OO0,), jnp.float32),
+            jnp.zeros((OO0,), bool), jnp.ones((P0,), bool),
+            jnp.zeros((MM0,), bool))
+        r = optim.bundle_adjustment(
+            jK, jnp.tile(eye, (P0, 1, 1)), jnp.zeros((P0, 3), jnp.float32),
+            jnp.zeros((MM0, 3), jnp.float32), *ba_tail,
+            iters_huber=5, iters_trimmed=5)
+        # the live second call feeds the first solve's COMMITTED device
+        # outputs back in (localmapping._local_bundle_adjustment); committed
+        # vs uncommitted argument sharding is a distinct pjit cache entry, so
+        # warm that exact variant
+        r2 = optim.bundle_adjustment(
+            jK, r.R, r.t, r.points, *ba_tail, iters_huber=0, iters_trimmed=5)
+        jax.block_until_ready((r.R, r2.R))
     mark("local_ba")
 
     # ---- tracking fallbacks: standalone pose solve at frame size ----------

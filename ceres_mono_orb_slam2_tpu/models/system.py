@@ -257,6 +257,28 @@ class MonoSLAM:
                 )
         log.info("trajectory saved to %s", path)
 
+    def get_frame_trajectory(self):
+        """Resolved per-frame trajectory as (timestamps, Twc positions) —
+        the in-memory equivalent of save_frame_trajectory_tum. Every frame's
+        pose is re-based on its reference keyframe's CURRENT (loop-corrected,
+        GBA-refined) pose, exactly like the reference saver
+        (MonoORBSlam.cc:286-300): evaluating ATE on these, not on the poses
+        captured live at track time, is the reference's own protocol
+        (main.cc saves first, evaluation reads the file)."""
+        self.tracker.flush_pipeline()
+        ts_l, pos_l = [], []
+        with self.map.update_lock:
+            for kf_id, R_rel, t_rel, ts, lost in self.tracker.trajectory:
+                if lost:
+                    continue
+                pose = self.map.resolve_kf_pose(kf_id, R_rel, t_rel)
+                if pose is None:
+                    continue
+                Rcw, tcw = pose
+                ts_l.append(ts)
+                pos_l.append(-Rcw.T @ tcw)
+        return np.asarray(ts_l), np.asarray(pos_l)
+
     def save_frame_trajectory_tum(self, path: str):
         """Per-frame trajectory from the relative-to-keyframe log (the
         reference records the same relative transforms, Tracking.cc:367-382)."""

@@ -286,7 +286,18 @@ class ORBExtractor:
         return jax.jit(extract)
 
     def extract(self, images) -> FrameFeatures:
-        """images: (B, H, W) uint8/float32 grayscale in [0, 255]."""
+        """images: (B, H, W) uint8/float32 grayscale in [0, 255].
+
+        Float input is quantized to the 8-bit lattice at entry, with the
+        SAME rounding Tracking.grab_image uses for its uint8 device upload:
+        the whole pipeline — like the reference, which tracks 8-bit
+        grayscale end to end (cv::imread grayscale, main.cc:85-96) — sees
+        one pixel representation no matter which door an image came in
+        through. (Trained-vocabulary descriptors must match tracked-frame
+        descriptors bit-for-bit; a float/uint8 split between the corpus
+        and the live frames measurably degrades BoW place recognition.)"""
         if images.ndim == 2:
             images = images[None]
+        if images.dtype != np.uint8:  # uint8 input passes through untouched
+            images = np.clip(np.asarray(images) + 0.5, 0.0, 255.0).astype(np.uint8)
         return self._extract_jit(images.shape[-2], images.shape[-1])(jnp.asarray(images))

@@ -58,18 +58,25 @@ def ring():
 
 def _run(seq, voc, images):
     slam = MonoSLAM(_config(), vocabulary=voc)
-    est, gt, states = [], [], []
+    states, n_live = [], 0
     for k in range(seq.n_frames):
         T = slam.track_monocular(images[k], seq.timestamps[k])
         states.append(slam.get_tracking_state())
-        if T is not None:
-            est.append(-T[:3, :3].T @ T[:3, 3])
-            gt.append(-seq.poses_Rcw[k].T @ seq.poses_tcw[k])
+        n_live += T is not None
+    # ATE on the RESOLVED trajectory (every frame re-based on its reference
+    # keyframe's loop-corrected pose) — the reference's own protocol: main.cc
+    # saves the trajectory AFTER the run and evaluation reads the file, so
+    # pre-loop frames carry the correction. Live at-track-time poses keep
+    # whatever drift existed before the closure and would mis-score the loop.
+    ts, est = slam.get_frame_trajectory()
     slam.shutdown()
-    e, g = np.stack(est), np.stack(gt)
-    rmse = ate_rmse(e, g)
-    traj = np.linalg.norm(np.diff(g, axis=0), axis=1).sum()
-    return slam, states, len(est), 100.0 * rmse / traj
+    k_of_ts = {float(t): k for k, t in enumerate(seq.timestamps)}
+    gt = np.stack([
+        -seq.poses_Rcw[k_of_ts[float(t)]].T @ seq.poses_tcw[k_of_ts[float(t)]]
+        for t in ts])
+    rmse = ate_rmse(est, gt)
+    traj = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    return slam, states, n_live, 100.0 * rmse / traj
 
 
 def test_image_level_loop_closure(ring):

@@ -35,8 +35,16 @@ class CompileCounter(logging.Handler):
         super().__init__()
         self.n = 0
         self.last = None
+        self._seen = set()
 
     def emit(self, record):
+        # the handler hangs on both child loggers and the "jax" parent, and
+        # records PROPAGATE up — dedupe by record identity or every compile
+        # is counted twice (round-3 endurance reports were 2x inflated)
+        key = id(record)
+        if key in self._seen:
+            return
+        self._seen.add(key)
         msg = record.getMessage()
         if "ompil" in msg:  # "Compiling ..." / "Finished XLA compilation"
             if msg.startswith("Compiling"):
@@ -50,10 +58,39 @@ def main():
     ap.add_argument("--step", type=float, default=0.06)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--features", type=int, default=2000)
+    ap.add_argument("--h", type=int, default=480)
+    ap.add_argument("--w", type=int, default=640)
+    ap.add_argument("--fx", type=float, default=500.0)
+    ap.add_argument("--fy", type=float, default=500.0)
+    ap.add_argument("--device-render", action="store_true",
+                    help="render the sequence with the jit ray tracer "
+                         "(ms/frame on the TPU vs ~6 s/frame in numpy) — "
+                         "required for KITTI-scale runs (2000+ frames at "
+                         "1241x376, VERDICT r4 item #3)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile every steady-state shape bucket before "
+                         "frame 0 (models/prewarm.py); the recompile "
+                         "assertion window then starts at frame 0 intent")
+    ap.add_argument("--max-local-points", type=int, default=4096)
+    ap.add_argument("--synth-vocab-levels", type=int, default=0,
+                    help="use a structure-generated ORBvoc-scale vocabulary "
+                         "with k=10 and this many levels (6 -> 1M words, the "
+                         "reference's ORBvoc.txt shape) instead of training "
+                         "a small one from the sequence — exercises the "
+                         "KeyFrameDatabase share-word/minScore gates at real "
+                         "ORBvoc statistics (VERDICT r4 item #5)")
+    ap.add_argument("--pool-cap", type=int, default=0,
+                    help="device map pool rows (0 = auto); size to the "
+                         "expected live-map peak to avoid one mid-run "
+                         "frontend recompile on pool growth")
     ap.add_argument("--blackout", type=int, default=300,
                     help="first frame of a 6-frame blackout (kidnap); 0 disables")
     ap.add_argument("--warmup", type=int, default=60,
                     help="frames before the zero-recompile assertion window")
+    ap.add_argument("--assert-zero-recompiles", action="store_true",
+                    help="FAIL the run if any XLA compile lands after the "
+                         "warmup window (the steady-state contract: prewarm "
+                         "covers every reachable shape bucket)")
     ap.add_argument("--threaded", action="store_true")
     ap.add_argument("--pipelined", action="store_true",
                     help="pipelined tracking (one frame of pose latency); "
@@ -70,32 +107,55 @@ def main():
         logging.getLogger(name).setLevel(logging.WARNING)
 
     t_render = time.perf_counter()
-    seq = make_sequence(n_frames=args.frames, seed=args.seed, motion="circle",
-                        step=args.step)
+    if args.device_render:
+        from ceres_mono_orb_slam2_tpu.utils.synthetic import (
+            make_rendered_sequence_device)
+
+        seq = make_rendered_sequence_device(
+            n_frames=args.frames, h=args.h, w=args.w, fx=args.fx, fy=args.fy,
+            seed=args.seed, motion="circle", step=args.step)
+    else:
+        seq = make_sequence(n_frames=args.frames, h=args.h, w=args.w,
+                            fx=args.fx, fy=args.fy, seed=args.seed,
+                            motion="circle", step=args.step)
     print(f"sequence ready ({time.perf_counter() - t_render:.0f}s)", flush=True)
 
     cfg = SlamConfig(
-        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, fps=30.0),
+        camera=CameraConfig(fx=args.fx, fy=args.fy, cx=args.w / 2.0,
+                            cy=args.h / 2.0, fps=30.0),
         orb=ORBConfig(n_features=args.features),
-        shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
+        shapes=StaticShapes(max_local_points=args.max_local_points,
+                            device_pool_cap=args.pool_cap,
+                            max_local_keyframes=12,
                             max_ba_points=2048, max_ba_obs=8192),
     )
-    ex = ORBExtractor(cfg.orb)
-    corpus = []
-    for i in range(0, min(args.frames, 40), 4):
-        fe = ex.extract(seq.images[i])
-        corpus.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
-    voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4, seed=0,
-                               docs=corpus)
-    print(f"vocabulary: {voc.n_words} words", flush=True)
+    if args.synth_vocab_levels:
+        t0 = time.perf_counter()
+        voc = bow.synth_vocabulary(k=10, levels=args.synth_vocab_levels, seed=0)
+        print(f"vocabulary: {voc.n_words:,} words (synth ORBvoc-scale, "
+              f"{time.perf_counter()-t0:.0f}s)", flush=True)
+    else:
+        ex = ORBExtractor(cfg.orb)
+        corpus = []
+        for i in range(0, min(args.frames, 40), 4):
+            fe = ex.extract(seq.images[i])
+            corpus.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
+        voc = bow.train_vocabulary(np.concatenate(corpus), k=10, levels=4,
+                                   seed=0, docs=corpus)
+        print(f"vocabulary: {voc.n_words} words", flush=True)
     slam = MonoSLAM(cfg, vocabulary=voc, threaded=args.threaded,
                     pipelined=args.pipelined)
+    if args.prewarm:
+        t0 = time.perf_counter()
+        timings = slam.prewarm(args.h, args.w)
+        print(f"prewarm: {timings} (compiles so far: {counter.n})", flush=True)
 
     blackout = set(range(args.blackout, args.blackout + 6)) if args.blackout else set()
     est, gt, times = [], [], []
     frame_ok = []
     compiles_at_warmup = None
     peak_points = 0
+    peak_kfs = 0
     for k in range(seq.n_frames):
         img = np.zeros_like(seq.images[k]) if k in blackout else seq.images[k]
         if k == args.warmup:
@@ -106,6 +166,7 @@ def main():
         ok = T is not None
         frame_ok.append(ok)
         peak_points = max(peak_points, slam.map.n_map_points())
+        peak_kfs = max(peak_kfs, slam.map.n_keyframes())
         if ok and k not in blackout:
             est.append(-T[:3, :3].T @ T[:3, 3])
             gt.append(-seq.poses_Rcw[k].T @ seq.poses_tcw[k])
@@ -117,19 +178,28 @@ def main():
                   f"compiles={counter.n} t={times[-1]:.2f}s", flush=True)
     slam.shutdown()
 
-    if args.pipelined:
-        # per-call returns lag one frame while the pipeline is full; evaluate
-        # from the drained trajectory log like tests/test_pipelined.py
-        from ceres_mono_orb_slam2_tpu.utils.synthetic import trajectory_positions
+    # ATE on the RESOLVED trajectory log (each frame re-based on its
+    # reference keyframe's loop-corrected pose) — the reference's protocol:
+    # main.cc saves after the run, evaluation reads the file, so pre-loop
+    # frames carry the closure correction. (Also the only correct option in
+    # pipelined mode, where per-call returns lag one frame.) The live
+    # at-track-time poses are reported as ate_live_pct for drift visibility.
+    from ceres_mono_orb_slam2_tpu.utils.synthetic import trajectory_positions
 
-        est, gt, tracked = trajectory_positions(
-            slam.tracker.trajectory, slam.map, seq.timestamps,
-            seq.poses_Rcw, seq.poses_tcw, exclude=blackout)
+    est_r, gt_r, tracked = trajectory_positions(
+        slam.tracker.trajectory, slam.map, seq.timestamps,
+        seq.poses_Rcw, seq.poses_tcw, exclude=blackout)
+    if args.pipelined:
         frame_ok = [False] * seq.n_frames
         for k in tracked:
             frame_ok[k] = True
 
-    est_a, gt_a = np.stack(est), np.stack(gt)
+    live_rmse = None
+    if est and not args.pipelined:
+        el, gl = np.stack(est), np.stack(gt)
+        live_rmse = 100.0 * ate_rmse(el, gl) / max(
+            float(np.linalg.norm(np.diff(gl, axis=0), axis=1).sum()), 1e-9)
+    est_a, gt_a = est_r, gt_r
     rmse = ate_rmse(est_a, gt_a)
     traj = np.linalg.norm(np.diff(gt_a, axis=0), axis=1).sum()
     # tracked-rate over post-init, non-blackout frames; blackout frames and
@@ -139,8 +209,13 @@ def main():
     eligible = [i for i in range(first, seq.n_frames) if i not in graceperiod]
     n_ok = sum(frame_ok[i] for i in eligible)
     recompiles = counter.n - (compiles_at_warmup or 0)
+    steady = np.array(times[args.warmup:])
     report = {
         "frames": seq.n_frames,
+        "resolution": f"{args.w}x{args.h}",
+        "features": args.features,
+        "median_fps": round(1.0 / float(np.median(steady)), 2),
+        "mean_fps": round(1.0 / float(steady.mean()), 2),
         "first_tracked": first,
         "tracked_pct_post_init": round(100.0 * n_ok / len(eligible), 2),
         "blackout_recovered": bool(args.blackout == 0 or any(
@@ -148,11 +223,14 @@ def main():
         "keyframes": slam.map.n_keyframes(),
         "map_points": slam.map.n_map_points(),
         "peak_map_points": peak_points,
+        "peak_keyframes": peak_kfs,
+        "pool_grows": slam.tracker._pool.n_grows if slam.tracker._pool else 0,
         "loops_closed": slam.loop_closer.n_loops_closed,
         "gba_runs": slam.loop_closer.n_gba_runs,
         "ate_rmse": round(float(rmse), 4),
         "traj_len": round(float(traj), 2),
         "ate_pct": round(100.0 * rmse / traj, 3),
+        "ate_live_pct": round(float(live_rmse), 3) if live_rmse is not None else None,
         "median_track_s": round(float(np.median(times[args.warmup:])), 3),
         "p95_track_s": round(float(np.percentile(times[args.warmup:], 95)), 3),
         "compiles_warmup": compiles_at_warmup,
@@ -167,6 +245,10 @@ def main():
           and report["ate_pct"] < 1.0
           and report["blackout_recovered"]
           and report["loops_closed"] >= 1)
+    if args.assert_zero_recompiles and recompiles > 0:
+        print(f"ASSERTION FAILED: {recompiles} XLA compiles after the "
+              f"warmup window (last: {counter.last})")
+        ok = False
     print("ENDURANCE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
