@@ -22,8 +22,10 @@ def test_frame_drawer_renders_image(tmp_path):
     slam = MonoSLAM(cfg, use_viewer=True)
     for k in range(6):
         slam.track_monocular(seq.images[k], seq.timestamps[k])
-    # the tracker retains the current image for the drawer
-    assert np.array_equal(slam.tracker.current_image, seq.images[5])
+    # the tracker retains the current image for the drawer, quantized to
+    # uint8 at entry (reference tracks CV_8U grayscale, Tracking.cc:154-177)
+    expected = np.clip(seq.images[5] + 0.5, 0.0, 255.0).astype(np.uint8)
+    assert np.array_equal(slam.tracker.current_image, expected)
     p_frame = slam.viewer.draw_frame(str(tmp_path / "frame.png"))
     p_map = slam.viewer.snapshot(str(tmp_path / "map.png"))
     slam.shutdown()
