@@ -76,6 +76,9 @@ class Frame:
              self._desc, self._kp_valid, self._kp_und) = host
         elif lazy:
             self._host_pending = True
+            import threading
+
+            self._host_lock = threading.Lock()
         else:
             # ONE batched transfer — per-field np.asarray calls are separate
             # device->host round-trips, which dominate per-frame wall time on
@@ -92,14 +95,35 @@ class Frame:
         self.tcw = np.zeros(3, np.float32)
         self.pose_set = False
 
+    def start_host_copy_async(self):
+        """Kick the device->host DMA for the full keypoint payload WITHOUT
+        blocking. Used at keyframe promotion: the tracking thread starts the
+        copy and returns immediately; the mapper thread's first host-field
+        access then finds the data already (or nearly) on host instead of
+        paying the full tunnel RTT + transfer. No-op once materialized."""
+        if not self._host_pending:
+            return
+        for a in (self.j_xy, self.j_octave, self.j_angle, self._j_response,
+                  self.j_desc, self.j_valid, self.j_und):
+            f = getattr(a, "copy_to_host_async", None)
+            if f is not None:
+                f()
+
     def _materialize_host(self):
         import jax
 
-        (self._kp_xy, self._kp_octave, self._kp_angle, self._kp_response,
-         self._desc, self._kp_valid, self._kp_und) = jax.device_get(
-            (self.j_xy, self.j_octave, self.j_angle, self._j_response,
-             self.j_desc, self.j_valid, self.j_und))
-        self._host_pending = False
+        # two threads may race here (tracking fallback vs mapper promotion):
+        # both would fetch the same immutable device arrays and write
+        # identical results, so the race is benign — but serialize anyway so
+        # the transfer happens once
+        with self._host_lock:
+            if not self._host_pending:
+                return
+            (self._kp_xy, self._kp_octave, self._kp_angle, self._kp_response,
+             self._desc, self._kp_valid, self._kp_und) = jax.device_get(
+                (self.j_xy, self.j_octave, self.j_angle, self._j_response,
+                 self.j_desc, self.j_valid, self.j_und))
+            self._host_pending = False
 
     @property
     def j_und(self):

@@ -165,9 +165,13 @@ class MapPoint:
 
 
 class KeyFrame:
+    _PAYLOAD = ("kp_xy", "kp_und", "kp_octave", "kp_angle", "kp_response",
+                "desc", "kp_valid")
+
     __slots__ = (
         "id", "frame_id", "timestamp", "Rcw", "tcw",
-        "kp_xy", "kp_und", "kp_octave", "kp_angle", "kp_response", "desc", "kp_valid",
+        "_kp_xy", "_kp_und", "_kp_octave", "_kp_angle", "_kp_response",
+        "_desc", "_kp_valid", "_src_frame",
         "mp_ids", "covisible", "ordered_neighbors", "parent", "children",
         "loop_edges", "bad", "not_erase", "to_be_erased", "bow_vec",
         "Tcw_gba", "gba_for_kf",
@@ -179,13 +183,21 @@ class KeyFrame:
         self.timestamp = frame.timestamp
         self.Rcw = frame.Rcw.copy()
         self.tcw = frame.tcw.copy()
-        self.kp_xy = frame.kp_xy
-        self.kp_und = frame.kp_und
-        self.kp_octave = frame.kp_octave
-        self.kp_angle = frame.kp_angle
-        self.kp_response = frame.kp_response
-        self.desc = frame.desc
-        self.kp_valid = frame.kp_valid
+        if getattr(frame, "_host_pending", False):
+            # keyframe promotion of a lazy frame happens ON THE TRACKING
+            # THREAD (Tracking::CreateNewKeyFrame); blocking it on the
+            # ~140 KB keypoint-payload device_get (~30-40 ms of tunnel RTT
+            # + transfer) is the measured keyframe-frame wall-time tail.
+            # Defer: kick the DMA now (non-blocking) and let the first
+            # payload access — the mapper thread's ProcessNewKeyFrame, which
+            # is where the reference does its keyframe work too
+            # (LocalMapping.cc:61-104) — complete the fetch off-thread.
+            self._src_frame = frame
+            frame.start_host_copy_async()
+        else:
+            self._src_frame = None
+            for name in self._PAYLOAD:
+                setattr(self, "_" + name, getattr(frame, name))
         self.mp_ids = frame.mp_ids.copy()  # (N,) int64, -1 = unassociated
         self.covisible: Dict[int, int] = {}  # kf_id -> weight
         self.ordered_neighbors: List[int] = []
@@ -199,9 +211,20 @@ class KeyFrame:
         self.Tcw_gba = None
         self.gba_for_kf = -1
 
+    def _promote_payload(self):
+        f = self._src_frame
+        if f is None:
+            return
+        # one batched device_get inside the frame (its _host_lock serializes
+        # racing threads); copy the host refs then drop the frame so its
+        # device arrays and image can be freed
+        for name in self._PAYLOAD:
+            setattr(self, "_" + name, getattr(f, name))
+        self._src_frame = None
+
     @property
     def n_kp(self) -> int:
-        return len(self.kp_xy)
+        return len(self.mp_ids)
 
     def camera_center(self) -> np.ndarray:
         return (-self.Rcw.T @ self.tcw).astype(np.float32)
@@ -217,6 +240,26 @@ class KeyFrame:
         if len(ids) == 0:
             return 0
         return int((map_.mp_alive[ids] & (map_.mp_nobs[ids] >= min_obs)).sum())
+
+
+def _kf_payload_property(name: str) -> property:
+    priv = "_" + name
+
+    def get(self):
+        if self._src_frame is not None:
+            self._promote_payload()
+        return getattr(self, priv)
+
+    def set_(self, value):  # map-load path constructs via Frame, but keep
+        if self._src_frame is not None:  # symmetric with Frame's setters
+            self._promote_payload()
+        setattr(self, priv, value)
+
+    return property(get, set_)
+
+
+for _name in KeyFrame._PAYLOAD:
+    setattr(KeyFrame, _name, _kf_payload_property(_name))
 
 
 class Map:
