@@ -674,14 +674,17 @@ class LocalMapping:
         P0 = bucket(4 * sh.max_local_keyframes, 8)
         MM0 = bucket(sh.max_ba_points, 256)
         OO0 = bucket(sh.max_ba_obs, 1024)
-        if P0 * MM0 <= (1 << 21):
-            P = max(bucket(len(kf_ids), 8), P0)
-            MM = max(bucket(len(mp_ids), 256), MM0)
-            OO = max(bucket(n_obs, 1024), OO0)
-        else:
-            P = bucket(len(kf_ids), 8)
-            MM = bucket(len(mp_ids), 256)
-            OO = bucket(n_obs, 1024)
+        P = max(bucket(len(kf_ids), 8), P0)
+        MM = max(bucket(len(mp_ids), 256), MM0)
+        OO = max(bucket(n_obs, 1024), OO0)
+        if P > P0 or MM > MM0 or OO > OO0:
+            # window overflowed the session envelope: a one-time pow2-bucket
+            # compile (amortized by the persistent cache). Loud, because it
+            # is the only event that can break --assert-zero-recompiles.
+            log.warning(
+                "local BA window overflows the prewarmed session shape "
+                "(P %d>%d, M %d>%d, O %d>%d): one-time bucket compile",
+                P, P0, MM, MM0, OO, OO0)
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), np.float32)
         fixed = np.ones(P, bool)

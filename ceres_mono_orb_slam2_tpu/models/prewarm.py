@@ -171,29 +171,29 @@ def prewarm(slam, h: int, w: int) -> dict:
     mark("triangulate")
 
     # ---- local BA: the ONE session dense-solve shape x 2 iteration plans --
-    # (localmapping._lba_build pads every window to exactly this shape; see
-    # its comment — overflow windows fall back to pow2 buckets, a rare
-    # one-time compile amortized by the persistent compilation cache)
+    # (localmapping._lba_build pads every window to at least this shape —
+    # every config is warmed, including KITTI-scale BA budgets; a window can
+    # only miss this cache by OVERFLOWING the envelope, which _lba_build
+    # warns about loudly as the one event that breaks zero-recompiles)
     P0 = _bucket(4 * sh.max_local_keyframes, 8)
     MM0 = _bucket(sh.max_ba_points, 256)
     OO0 = _bucket(sh.max_ba_obs, 1024)
-    if P0 * MM0 <= (1 << 21):
-        ba_tail = (
-            jnp.zeros((OO0,), jnp.int32), jnp.zeros((OO0,), jnp.int32),
-            jnp.zeros((OO0, 2), jnp.float32), jnp.ones((OO0,), jnp.float32),
-            jnp.zeros((OO0,), bool), jnp.ones((P0,), bool),
-            jnp.zeros((MM0,), bool))
-        r = optim.bundle_adjustment(
-            jK, jnp.tile(eye, (P0, 1, 1)), jnp.zeros((P0, 3), jnp.float32),
-            jnp.zeros((MM0, 3), jnp.float32), *ba_tail,
-            iters_huber=5, iters_trimmed=5)
-        # the live second call feeds the first solve's COMMITTED device
-        # outputs back in (localmapping._local_bundle_adjustment); committed
-        # vs uncommitted argument sharding is a distinct pjit cache entry, so
-        # warm that exact variant
-        r2 = optim.bundle_adjustment(
-            jK, r.R, r.t, r.points, *ba_tail, iters_huber=0, iters_trimmed=5)
-        jax.block_until_ready((r.R, r2.R))
+    ba_tail = (
+        jnp.zeros((OO0,), jnp.int32), jnp.zeros((OO0,), jnp.int32),
+        jnp.zeros((OO0, 2), jnp.float32), jnp.ones((OO0,), jnp.float32),
+        jnp.zeros((OO0,), bool), jnp.ones((P0,), bool),
+        jnp.zeros((MM0,), bool))
+    r = optim.bundle_adjustment(
+        jK, jnp.tile(eye, (P0, 1, 1)), jnp.zeros((P0, 3), jnp.float32),
+        jnp.zeros((MM0, 3), jnp.float32), *ba_tail,
+        iters_huber=5, iters_trimmed=5)
+    # the live second call feeds the first solve's COMMITTED device
+    # outputs back in (localmapping._local_bundle_adjustment); committed
+    # vs uncommitted argument sharding is a distinct pjit cache entry, so
+    # warm that exact variant
+    r2 = optim.bundle_adjustment(
+        jK, r.R, r.t, r.points, *ba_tail, iters_huber=0, iters_trimmed=5)
+    jax.block_until_ready((r.R, r2.R))
     mark("local_ba")
 
     # ---- tracking fallbacks: standalone pose solve at frame size ----------

@@ -35,6 +35,7 @@ class CompileCounter(logging.Handler):
         super().__init__()
         self.n = 0
         self.last = None
+        self.messages = []  # every "Compiling ..." signature, in order
         self._seen = set()
 
     def emit(self, record):
@@ -50,6 +51,7 @@ class CompileCounter(logging.Handler):
             if msg.startswith("Compiling"):
                 self.n += 1
                 self.last = msg[:140]
+                self.messages.append(msg[:200])
 
 
 def main():
@@ -237,6 +239,15 @@ def main():
         "recompiles_after_warmup": recompiles,
         "last_compile": counter.last,
     }
+    if recompiles > 0:
+        # dump the post-warmup compile signatures (deduped, with counts) so
+        # a broken zero-recompile contract is diagnosable from the artifact
+        from collections import Counter as _Counter
+
+        post = counter.messages[(compiles_at_warmup or 0):]
+        sig = _Counter(m[:120] for m in post)
+        report["recompile_signatures"] = [
+            {"n": c, "sig": s} for s, c in sig.most_common(20)]
     print(json.dumps(report, indent=1, default=float), flush=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1, default=float)
