@@ -295,6 +295,14 @@ def bundle_adjustment(
         c = jnp.where(robust, huber_cost(s, delta), s)
         return jnp.sum(jnp.where(mask, c, 0.0))
 
+    # Index reductions as one-hot MXU matmuls (a TPU scatter-add serializes;
+    # measured 46 -> 20 ms for a 10-iteration solve at the session shape) —
+    # iteration-invariant, so XLA hoists both out of the LM scan. The big
+    # (O, M) one-hot is consumed by ONE fused matmul per iteration.
+    oh_p = jax.nn.one_hot(obs_pose, P, dtype=R.dtype)  # (O, P)
+    oh_m = jax.nn.one_hot(obs_point, M, dtype=R.dtype)  # (O, M)
+    O = obs_pose.shape[0]
+
     def lm_iteration(Rp, tp, pts, lam, cost, mask, robust):
         s, r, Xc = chi2_of(Rp, tp, pts)
         w = obs_inv_sigma2 * jnp.where(robust, huber_weight(s, delta), 1.0)
@@ -305,14 +313,29 @@ def bundle_adjustment(
         A = -jnp.concatenate([Jp, -Jp @ lie.hat(Xc)], axis=-1)  # (O, 2, 6)
         # point block: dXc/dX = R_pose; dr/dX = -Jp @ R
         B = -(Jp @ Rp[obs_pose])  # (O, 2, 3)
-
         wA = w[:, None, None] * A
-        Hpp = jnp.zeros((P, 6, 6), A.dtype).at[obs_pose].add(jnp.einsum("oik,oil->okl", wA, A))
-        Hll = jnp.zeros((M, 3, 3), A.dtype).at[obs_point].add(jnp.einsum("oik,oil->okl", w[:, None, None] * B, B))
-        bp = jnp.zeros((P, 6), A.dtype).at[obs_pose].add(-jnp.einsum("oik,oi->ok", wA, r))
-        bl = jnp.zeros((M, 3), A.dtype).at[obs_point].add(-jnp.einsum("oik,oi->ok", w[:, None, None] * B, r))
-        Wblk = jnp.einsum("oik,oil->okl", wA, B)  # (O, 6, 3)
-        U = jnp.zeros((M, P, 6, 3), A.dtype).at[obs_point, obs_pose].add(Wblk)
+        wB = w[:, None, None] * B
+
+        # pose-side reductions: ONE (P, O) @ (O, 42) matmul
+        ha = jnp.einsum("oik,oil->okl", wA, A).reshape(O, 36)
+        ga = -jnp.einsum("oik,oi->ok", wA, r)
+        pose_pack = oh_p.T @ jnp.concatenate([ha, ga], axis=1)
+        Hpp = pose_pack[:, :36].reshape(P, 6, 6)
+        bp = pose_pack[:, 36:42]
+
+        # point-side reductions: ONE (M, O) @ (O, 12 + 18P) matmul. The
+        # cross-blocks U = sum_o 1[m] 1[p] A^T w B ride the same contraction
+        # in (M, P*18) flat layout — NEVER materialized as (M, P, 6, 3) with
+        # a trailing dim of 3, whose (P,6,M,3) transpose lane-pads 3->128
+        # (a measured 42x HBM traffic blowup, the round-4 latency mystery).
+        hb = jnp.einsum("oik,oil->okl", wB, B).reshape(O, 9)
+        gb = -jnp.einsum("oik,oi->ok", wB, r)
+        Wblk = jnp.einsum("oik,oil->okl", wA, B).reshape(O, 18)  # A^T w B
+        WP = (Wblk[:, None, :] * oh_p[:, :, None]).reshape(O, P * 18)
+        point_pack = oh_m.T @ jnp.concatenate([hb, gb, WP], axis=1)
+        Hll = point_pack[:, :9].reshape(M, 3, 3)
+        bl = point_pack[:, 9:12]
+        Uf = point_pack[:, 12:]  # (M, P*18): U[m, (p, i), k] flattened
 
         # damp
         eye3 = jnp.eye(3, dtype=A.dtype)
@@ -322,13 +345,17 @@ def bundle_adjustment(
         Hll_inv = _inv3x3(Hll_d)
         Hll_inv = jnp.where(point_valid[:, None, None], Hll_inv, 0.0)
 
-        # Schur: S = blockdiag(Hpp) - U Hll^-1 U^T  as one MXU matmul
-        T = jnp.einsum("mpik,mkl->mpil", U, Hll_inv)  # (M, P, 6, 3)
-        T2 = T.transpose(1, 2, 0, 3).reshape(P * 6, M * 3)
-        U2 = U.transpose(1, 2, 0, 3).reshape(P * 6, M * 3)
-        S = -T2 @ U2.T
-        S = S.reshape(P, 6, P, 6).at[jnp.arange(P), :, jnp.arange(P), :].add(Hpp_d).reshape(P * 6, P * 6)
-        rhs = (bp - jnp.einsum("mpik,mk->pi", T, bl)).reshape(P * 6)
+        # T[m,a,l] = sum_k U[m,a,k] Hinv[m,k,l], a = (pose, i) in [6P)
+        U3 = Uf.reshape(M, P * 6, 3)
+        T3 = jnp.einsum("mak,mkl->mal", U3, Hll_inv)
+        # Schur S = blockdiag(Hpp_d) - sum_{m,k} T[m,a,k] U[m,b,k]: one
+        # (6P*3, M) @ (M, 6P*3) MXU matmul + a partial trace over k-pairs
+        G = T3.reshape(M, P * 18).T @ Uf
+        Gk = G.reshape(P * 6, 3, P * 6, 3)
+        S = -(Gk[:, 0, :, 0] + Gk[:, 1, :, 1] + Gk[:, 2, :, 2])
+        S = S + jnp.einsum("pq,pij->piqj", jnp.eye(P, dtype=A.dtype),
+                           Hpp_d).reshape(P * 6, P * 6)
+        rhs = bp.reshape(P * 6) - jnp.einsum("mak,mk->a", T3, bl)
 
         # gauge: zero rows/cols of fixed poses, identity diagonal
         free6 = jnp.repeat(free, 6)
@@ -336,8 +363,14 @@ def bundle_adjustment(
         S = S + jnp.where(free6, 0.0, 1.0) * jnp.eye(P * 6, dtype=S.dtype)
         rhs = jnp.where(free6, rhs, 0.0)
 
-        dp = jnp.linalg.solve(S, rhs).reshape(P, 6)
-        dl = jnp.einsum("mkl,ml->mk", Hll_inv, bl - jnp.einsum("mpik,pi->mk", U, dp))
+        # 6Px6P Cholesky: measured CHEAP (~25 us/iter at P=16) — the latency
+        # lived in the scatters and lane-padded transposes, not the solve
+        L = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        dp = jax.scipy.linalg.solve_triangular(L.T, y, lower=False).reshape(P, 6)
+
+        dl = jnp.einsum("mkl,ml->mk", Hll_inv,
+                        bl - jnp.einsum("mak,a->mk", U3, dp.reshape(P * 6)))
         dl = jnp.where(point_valid[:, None], dl, 0.0)
 
         dRp, dtp = lie.se3_exp(dp)

@@ -438,10 +438,32 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
                                   motion: str = "strafe", step: float = 0.06,
                                   seed: int = 0, noise: float = 1.0,
                                   fps: float = 30.0,
-                                  dist: np.ndarray = None) -> SyntheticSequence:
+                                  dist: np.ndarray = None,
+                                  cache_dir: str = None) -> SyntheticSequence:
     """Same worlds/trajectories as `make_sequence`, rendered on device.
     `dist`: optional (4,) or (5,) OpenCV distortion coefficients — the
-    rendered images then come from a DISTORTED lens."""
+    rendered images then come from a DISTORTED lens.
+    `cache_dir`: if set, the rendered frames are stored/loaded as uint8 .npz
+    keyed by every render parameter (the ray tracer costs ~1.7 s/frame at
+    KITTI resolution through the device tunnel; endurance runs re-use the
+    sequence). uint8 storage is lossless for the pipeline: the tracker
+    quantizes image entries to uint8 at grab_image anyway."""
+    cache = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+
+        key = repr((n_frames, h, w, fx, fy, motion, step, seed, noise, fps,
+                    None if dist is None else np.asarray(dist).tolist()))
+        cache = os.path.join(
+            cache_dir, "seq_" + hashlib.sha1(key.encode()).hexdigest()[:16] + ".npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return SyntheticSequence(
+                images=z["images"].astype(np.float32),
+                poses_Rcw=z["poses_Rcw"], poses_tcw=z["poses_tcw"],
+                timestamps=z["timestamps"], K=z["K"])
+        os.makedirs(cache_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
@@ -476,8 +498,17 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
     if noise > 0:
         images = images + rng.standard_normal(images.shape).astype(np.float32) * noise
     images = np.clip(images, 0, 255).astype(np.float32)
-    return SyntheticSequence(images=images, poses_Rcw=Rcw, poses_tcw=tcw,
-                             timestamps=np.array(stamps, np.float64), K=K)
+    if cache is not None:
+        # quantize the RETURNED frames too so a fresh render and a cache hit
+        # are bit-identical end to end
+        u8 = np.round(images).astype(np.uint8)
+        images = u8.astype(np.float32)
+    seq = SyntheticSequence(images=images, poses_Rcw=Rcw, poses_tcw=tcw,
+                            timestamps=np.array(stamps, np.float64), K=K)
+    if cache is not None:
+        np.savez(cache, images=u8, poses_Rcw=Rcw, poses_tcw=tcw,
+                 timestamps=seq.timestamps, K=K)
+    return seq
 
 
 def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True) -> float:

@@ -1,0 +1,77 @@
+"""Diagnose spontaneous LOST transitions at the KITTI frame shape
+(1241x376, 2000 features) seen in the round-5 endurance runs. Runs the
+serial tracker over the same device-rendered circle sequence and dumps
+per-frame stats (method, match counts, inlier counts) around every loss."""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=160)
+    ap.add_argument("--w", type=int, default=1241)
+    ap.add_argument("--h", type=int, default=376)
+    ap.add_argument("--features", type=int, default=2000)
+    ap.add_argument("--step", type=float, default=0.06)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--threaded", action="store_true")
+    args = ap.parse_args()
+
+    from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
+    from ceres_mono_orb_slam2_tpu.utils.config import (
+        CameraConfig, ORBConfig, SlamConfig, StaticShapes)
+    from ceres_mono_orb_slam2_tpu.utils.synthetic import (
+        make_rendered_sequence_device)
+
+    t0 = time.perf_counter()
+    seq = make_rendered_sequence_device(
+        n_frames=args.frames, h=args.h, w=args.w, fx=500.0, fy=500.0,
+        seed=args.seed, motion="circle", step=args.step,
+        cache_dir="/tmp/render_cache")
+    print(f"sequence ready ({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=args.w / 2.0,
+                            cy=args.h / 2.0, fps=30.0),
+        orb=ORBConfig(n_features=args.features),
+        shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
+                            max_ba_points=2048, max_ba_obs=8192),
+    )
+    slam = MonoSLAM(cfg, threaded=args.threaded)
+    states = []
+    for k in range(seq.n_frames):
+        T = slam.track_monocular(seq.images[k], seq.timestamps[k])
+        states.append(slam.get_tracking_state())
+        if k % 20 == 0:
+            print(f"f{k:03d}: {states[-1]} kfs={slam.map.n_keyframes()} "
+                  f"mps={slam.map.n_map_points()}", flush=True)
+    slam.shutdown()
+
+    stats = slam.tracker.frame_stats
+    # find loss events and print context
+    lost_idx = [i for i, s in enumerate(stats) if not s.get("ok", True)]
+    print(f"\n{len(lost_idx)} not-ok frames of {len(stats)}")
+    shown = set()
+    for li in lost_idx[:30]:
+        for i in range(max(0, li - 3), min(len(stats), li + 2)):
+            if i in shown:
+                continue
+            shown.add(i)
+            s = stats[i]
+            print(f"  f{s.get('frame_id')}: ok={s.get('ok')} "
+                  f"method={s.get('method')} nkp={s.get('n_kp')} "
+                  f"inl_frame={s.get('inliers_frame')} "
+                  f"inl_local={s.get('inliers_local')} "
+                  f"kfs={s.get('n_kfs')} mps={s.get('n_mps')} "
+                  f"extras={ {k2: v for k2, v in s.items() if k2 not in ('frame_id','ok','method','n_kp','inliers_frame','inliers_local','n_kfs','n_mps','timestamp','track_ms','phase_ms')} }",
+                  flush=True)
+        print("  --")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,7 +115,8 @@ def main():
 
         seq = make_rendered_sequence_device(
             n_frames=args.frames, h=args.h, w=args.w, fx=args.fx, fy=args.fy,
-            seed=args.seed, motion="circle", step=args.step)
+            seed=args.seed, motion="circle", step=args.step,
+            cache_dir="/tmp/render_cache")
     else:
         seq = make_sequence(n_frames=args.frames, h=args.h, w=args.w,
                             fx=args.fx, fy=args.fy, seed=args.seed,
