@@ -234,6 +234,17 @@ def bench_utilization(h: int = 376, w: int = 1241) -> dict:
     cstep = step.lower(images, state).compile()
     out["fused_step_1s"] = timed(cstep, (images, state))
 
+    # 2b) same program at batch 8: the 8-stream scaling question (VERDICT r4
+    # item #6) is answered by this pair — if the batch-8 step already sits
+    # near the HBM roofline, flat aggregate fps is chip saturation, not a
+    # host-serialization bug
+    images8, state8 = synthetic_stream_state(config, 8, n_map_points=4096,
+                                             h=h, w=w)
+    images8 = jax.device_put(images8)
+    state8 = jax.tree_util.tree_map(jax.device_put, state8)
+    cstep8 = step.lower(images8, state8).compile()
+    out["fused_step_8s"] = timed(cstep8, (images8, state8))
+
     # 3) local BA at the BASELINE window (16 KF / 2048 pts / 8192 obs)
     import functools
     rng = np.random.default_rng(0)

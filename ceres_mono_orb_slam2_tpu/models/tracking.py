@@ -25,6 +25,10 @@ from ceres_mono_orb_slam2_tpu.ops import frustum, lie, matcher, optim, pnp, twov
 
 log = logging.getLogger(__name__)
 
+# fixed candidate-axis size for batched relocalization PnP: one compiled
+# shape for the session (see _relocalization / prewarm.prewarm_reloc)
+RELOC_MAX_CANDIDATES = 8
+
 
 class State(enum.Enum):
     NO_IMAGES_YET = 0
@@ -1423,10 +1427,15 @@ class Tracking:
         if not built:
             return False
 
-        from ceres_mono_orb_slam2_tpu.utils.padding import bucket
-
-        C = len(built)
-        Cb = bucket(C, 2)
+        # FIXED candidate-axis shape: reloc fires rarely (post-kidnap, after
+        # tracking loss), so per-Cb compiles were the dominant recompile
+        # source in the round-5 endurance runs. Cap at 8 candidates (the
+        # reference's accumulator keeps ~top groups, KeyFrameDatabase.cc:
+        # 280-310) and always pad to exactly 8 -> ONE ransac_pnp shape that
+        # prewarm_reloc compiles up front.
+        C = min(len(built), RELOC_MAX_CANDIDATES)
+        built = built[:C]
+        Cb = RELOC_MAX_CANDIDATES
         pos_b = np.zeros((Cb, n, 3), np.float32)
         ok_b = np.zeros((Cb, n), bool)
         for ci, (_, pos, ok, _) in enumerate(built):
@@ -1458,9 +1467,10 @@ class Tracking:
             cand_mp = [int(m) for m in kf.mp_ids if m >= 0 and self.map.get_mp(int(m)) is not None]
             if not cand_mp:
                 continue
-            from ceres_mono_orb_slam2_tpu.utils.padding import bucket
-
-            M = bucket(len(cand_mp))  # shape bucket: avoid per-call recompiles
+            # cand_mp has at most one entry per keyframe keypoint, so the
+            # frame's padded keypoint capacity is a FIXED upper bound — one
+            # shape for the whole session (prewarmed by prewarm_reloc)
+            M = n
             mp_pos = np.zeros((M, 3), np.float32)
             mp_desc = np.zeros((M, 32), np.uint8)
             ga = np.asarray(cand_mp, np.int64)

@@ -24,6 +24,7 @@ padded with a live stream's inputs so the trace never changes shape.
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -69,6 +70,12 @@ class MultiStreamSLAM:
         self._batched_frontend = None
         self.n_batched_frames = 0
         self.n_single_frames = 0
+        # cumulative wall-time split of track_batch (seconds): host prepare
+        # (serial per stream), batched device dispatch, blocking control
+        # fetch, host consume (serial per stream) — the 8-stream scaling
+        # diagnosis (VERDICT r4 item #6)
+        self.phase_s = {"prepare": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                        "consume": 0.0, "frames": 0}
 
     # ------------------------------------------------------------- frontend
 
@@ -132,6 +139,7 @@ class MultiStreamSLAM:
                   for img in images]
         results = [None] * S
 
+        t_p0 = time.perf_counter()
         preps = [None] * S
         for i, sysm in enumerate(self.streams):
             tr = sysm.tracker
@@ -150,6 +158,7 @@ class MultiStreamSLAM:
             fill = preps[batch_idx[0]][0]
             lane = [preps[i][0] if preps[i] is not None else fill
                     for i in range(S)]
+            t_d0 = time.perf_counter()
             # host leaves (image, packed inputs) stack into ONE transfer
             # each; device leaves (last-frame tensors, pools, bounds) pass
             # through as lists
@@ -161,14 +170,23 @@ class MultiStreamSLAM:
                 [a[5] for a in lane],
                 lane[0][6],
             )
+            t_f0 = time.perf_counter()
             # ONE device_get for every batched stream's packed control buffer
             ctl = jax.device_get(tuple(packs[i] for i in batch_idx))
+            t_c0 = time.perf_counter()
             for k, i in enumerate(batch_idx):
                 sysm = self.streams[i]
                 with sysm.map.update_lock:
                     sysm.tracker._fused_consume(
                         preps[i][1], outs[i], fouts[i], ctl[k])
                 results[i] = self._finish_stream(i)
+            t_c1 = time.perf_counter()
+            ph = self.phase_s
+            ph["prepare"] += t_d0 - t_p0
+            ph["dispatch"] += t_f0 - t_d0
+            ph["fetch"] += t_c0 - t_f0
+            ph["consume"] += t_c1 - t_c0
+            ph["frames"] += 1
         elif batch_idx:
             # lone fused stream: its normal single-stream path
             i = batch_idx[0]

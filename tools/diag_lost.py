@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--step", type=float, default=0.06)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--threaded", action="store_true")
+    ap.add_argument("--prewarm", action="store_true")
+    ap.add_argument("--ba-points", type=int, default=2048)
+    ap.add_argument("--ba-obs", type=int, default=8192)
+    ap.add_argument("--local-points", type=int, default=4096)
     args = ap.parse_args()
 
     from ceres_mono_orb_slam2_tpu.models.system import MonoSLAM
@@ -39,10 +43,16 @@ def main():
         camera=CameraConfig(fx=500.0, fy=500.0, cx=args.w / 2.0,
                             cy=args.h / 2.0, fps=30.0),
         orb=ORBConfig(n_features=args.features),
-        shapes=StaticShapes(max_local_points=4096, max_local_keyframes=12,
-                            max_ba_points=2048, max_ba_obs=8192),
+        shapes=StaticShapes(max_local_points=args.local_points,
+                            max_local_keyframes=12,
+                            max_ba_points=args.ba_points,
+                            max_ba_obs=args.ba_obs),
     )
     slam = MonoSLAM(cfg, threaded=args.threaded)
+    if args.prewarm:
+        t0 = time.perf_counter()
+        timings = slam.prewarm(args.h, args.w)
+        print(f"prewarm: {timings}", flush=True)
     states = []
     for k in range(seq.n_frames):
         T = slam.track_monocular(seq.images[k], seq.timestamps[k])
