@@ -379,12 +379,18 @@ def bundle_adjustment(
         pts_new = pts + dl
         new_cost = total_cost(R_new, t_new, pts_new, mask, robust)
         accept = new_cost < cost
+        # Ceres convergence exit: an accepted step whose relative cost
+        # decrease falls under function_tolerance stops the solve. The
+        # reference leaves Ceres' default 1e-6 in force
+        # (CeresOptimizer.cc:508-521 sets only max iters / threads), so a
+        # FIXED iteration count would be less faithful than exiting early.
+        converged = accept & (cost - new_cost <= 1e-6 * cost)
         Rp = jnp.where(accept, R_new, Rp)
         tp = jnp.where(accept, t_new, tp)
         pts = jnp.where(accept, pts_new, pts)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 5.0, 1e6))
         cost = jnp.where(accept, new_cost, cost)
-        return Rp, tp, pts, lam, cost
+        return Rp, tp, pts, lam, cost, converged
 
     def run_pass(Rp, tp, pts, mask, robust, n_iters):
         if n_iters == 0:
@@ -394,12 +400,14 @@ def bundle_adjustment(
             Rp, tp, pts, lam, cost, stop = carry
 
             def do(args):
-                Rp, tp, pts, lam, cost = args
+                Rp, tp, pts, lam, cost, _ = args
                 return lm_iteration(Rp, tp, pts, lam, cost, mask, robust)
 
-            Rp, tp, pts, lam, cost = jax.lax.cond(
-                stop, lambda a: a, do, (Rp, tp, pts, lam, cost)
+            Rp, tp, pts, lam, cost, converged = jax.lax.cond(
+                stop, lambda a: a[:5] + (jnp.asarray(False),), do,
+                (Rp, tp, pts, lam, cost, jnp.asarray(False))
             )
+            stop = stop | converged
             if stop_flag is not None:
                 stop = stop | stop_flag
             return (Rp, tp, pts, lam, cost, stop), None

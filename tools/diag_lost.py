@@ -3,8 +3,12 @@
 serial tracker over the same device-rendered circle sequence and dumps
 per-frame stats (method, match counts, inlier counts) around every loss."""
 import argparse
+import faulthandler
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR2, all_threads=True)
 
 sys.path.insert(0, "/root/repo")
 

@@ -74,6 +74,11 @@ def main():
                          "frame 0 (models/prewarm.py); the recompile "
                          "assertion window then starts at frame 0 intent")
     ap.add_argument("--max-local-points", type=int, default=4096)
+    ap.add_argument("--ba-points", type=int, default=2048,
+                    help="local-BA point budget (the session dense-solve "
+                         "shape); the KITTI config needs 4096 — measured "
+                         "live windows there want ~4k points / ~16k obs")
+    ap.add_argument("--ba-obs", type=int, default=8192)
     ap.add_argument("--synth-vocab-levels", type=int, default=0,
                     help="use a structure-generated ORBvoc-scale vocabulary "
                          "with k=10 and this many levels (6 -> 1M words, the "
@@ -130,7 +135,8 @@ def main():
         shapes=StaticShapes(max_local_points=args.max_local_points,
                             device_pool_cap=args.pool_cap,
                             max_local_keyframes=12,
-                            max_ba_points=2048, max_ba_obs=8192),
+                            max_ba_points=args.ba_points,
+                            max_ba_obs=args.ba_obs),
     )
     if args.synth_vocab_levels:
         t0 = time.perf_counter()
