@@ -64,6 +64,7 @@ class LocalMapping:
         self._accepting = True
         self.n_local_ba = 0
         self.n_ba_aborted = 0
+        self.pass_ms: List[dict] = []  # per-pass stage wall times (profiling)
 
     # ------------------------------------------------------------- interface
 
@@ -108,28 +109,51 @@ class LocalMapping:
         # map-point positions, or existing keyframes' bindings — the only
         # tracker-side mutations (per-point stats, NEW keyframes) are exactly
         # what the apply-phase guards already re-check.
+        import os
+        import time as _time
+
+        _skip = set(os.environ.get("CERES_LM_SKIP", "").split(","))
+        _tm = {"kf": kf.id}
+        _t0 = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t0
+            t = _time.perf_counter()
+            _tm[name] = round((t - _t0) * 1e3, 1)
+            _t0 = t
+
         L = self.map.update_lock
         with L:
             epoch = self.map.map_epoch
             self._process_new_keyframe(kf)
-            self._map_point_culling(kf)
+            _mark("process_new")
+            if "cullmp" not in _skip:
+                self._map_point_culling(kf)
+            _mark("cull_mp")
         if self._pass_stale(kf, epoch):
             return
-        self._create_new_map_points(kf)
+        if "triangulate" not in _skip:
+            self._create_new_map_points(kf)
+        _mark("triangulate")
         if self._pass_stale(kf, epoch):
             return
-        if not self.queue:
+        if not self.queue and "fuse" not in _skip:
             self._search_in_neighbors(kf, epoch)
+        _mark("fuse")
         self.abort_ba = False
         if self._pass_stale(kf, epoch):
             return
         if not self.queue and self.map.n_keyframes() > 2:
-            self._local_bundle_adjustment(kf)
+            if "lba" not in _skip:
+                self._local_bundle_adjustment(kf)
+            _mark("lba")
             if self._pass_stale(kf, epoch):
                 return
             with L:
-                if not self._pass_stale_locked(kf, epoch):
+                if not self._pass_stale_locked(kf, epoch) and "cullkf" not in _skip:
                     self._keyframe_culling(kf)
+            _mark("cull_kf")
+        self.pass_ms.append(_tm)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf.id)
 

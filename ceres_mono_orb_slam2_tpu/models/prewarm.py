@@ -212,44 +212,54 @@ def prewarm(slam, h: int, w: int) -> dict:
     # fallback's pow2 point buckets. The reference compiles everything at
     # build time (CMakeLists.txt); warming these keeps the zero-recompile
     # contract through kidnap recovery too.
+    import os
+
     from ceres_mono_orb_slam2_tpu.models.tracking import RELOC_MAX_CANDIDATES
     from ceres_mono_orb_slam2_tpu.ops import frustum, matcher, pnp
 
+    # bisection hook for tunnel/driver wedge diagnosis: comma list of
+    # sub-blocks to skip (reloc_bydesc, reloc_pnp, reloc_proj, reloc_frustum)
+    _skip = set(os.environ.get("CERES_PREWARM_SKIP", "").split(","))
+
     bits = matcher.unpack_u8(kp_desc)  # (N, 256)
-    r = matcher.search_by_descriptor(
-        zang, bits, kp_ok, zang, bits, kp_ok, ratio=0.75)
-    jax.block_until_ready(r)
-    key = jax.random.PRNGKey(0)
-    r = pnp.ransac_pnp_multi(
-        key, jK, jnp.zeros((RELOC_MAX_CANDIDATES, N, 3), jnp.float32),
-        jnp.zeros((RELOC_MAX_CANDIDATES, N, 2), jnp.float32),
-        jnp.ones((RELOC_MAX_CANDIDATES, N), jnp.float32),
-        jnp.zeros((RELOC_MAX_CANDIDATES, N), bool))
-    jax.block_until_ready(r.R)
+    if "reloc_bydesc" not in _skip:
+        r = matcher.search_by_descriptor(
+            zang, bits, kp_ok, zang, bits, kp_ok, ratio=0.75)
+        jax.block_until_ready(r)
+    if "reloc_pnp" not in _skip:
+        key = jax.random.PRNGKey(0)
+        r = pnp.ransac_pnp_multi(
+            key, jK, jnp.zeros((RELOC_MAX_CANDIDATES, N, 3), jnp.float32),
+            jnp.zeros((RELOC_MAX_CANDIDATES, N, 2), jnp.float32),
+            jnp.ones((RELOC_MAX_CANDIDATES, N), jnp.float32),
+            jnp.zeros((RELOC_MAX_CANDIDATES, N), bool))
+        jax.block_until_ready(r.R)
     # motion-model retries (th 15/30, rotation check on) + reloc widening
     # (th 10/dist 100 and th 3/dist 64, rotation check off) — all at the
     # frame keypoint capacity
-    for th, cr, dth in ((15.0, True, matcher.TH_HIGH),
-                        (30.0, True, matcher.TH_HIGH),
-                        (10.0, False, 100), (3.0, False, 64)):
-        r = matcher.search_by_projection_frame(
-            kp_und, kp_oct, zang, bits, kp_ok,
-            kp_und, kp_oct, zang, bits, kp_ok, sfs,
-            th=th, check_rotation=cr, dist_th=dth)
-        jax.block_until_ready(r[0])
-    # local-map fallback (non-fused _track_local_map): pow2 candidate buckets
-    for Mb in _pow2_lattice(512, max(4096, L)):
-        uv, level, viewcos, visible = frustum.frustum_and_scale(
-            eye, zero3, jK, tr.j_bounds,
-            jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
-            jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
-            jnp.zeros((Mb,), bool), log_scale, nlv)
-        mb_bits = matcher.unpack_u8(jnp.zeros((Mb, 32), jnp.uint8))
-        for th in (1.0, 5.0):
-            r = matcher.search_by_projection_points(
-                kp_und, kp_oct, bits, kp_ok, kp_ok,
-                uv, level, viewcos, mb_bits, visible, sfs, th=th)
+    if "reloc_proj" not in _skip:
+        for th, cr, dth in ((15.0, True, matcher.TH_HIGH),
+                            (30.0, True, matcher.TH_HIGH),
+                            (10.0, False, 100), (3.0, False, 64)):
+            r = matcher.search_by_projection_frame(
+                kp_und, kp_oct, zang, bits, kp_ok,
+                kp_und, kp_oct, zang, bits, kp_ok, sfs,
+                th=th, check_rotation=cr, dist_th=dth)
             jax.block_until_ready(r[0])
+    # local-map fallback (non-fused _track_local_map): pow2 candidate buckets
+    if "reloc_frustum" not in _skip:
+        for Mb in _pow2_lattice(512, max(4096, L)):
+            uv, level, viewcos, visible = frustum.frustum_and_scale(
+                eye, zero3, jK, tr.j_bounds,
+                jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
+                jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
+                jnp.zeros((Mb,), bool), log_scale, nlv)
+            mb_bits = matcher.unpack_u8(jnp.zeros((Mb, 32), jnp.uint8))
+            for th in (1.0, 5.0):
+                r = matcher.search_by_projection_points(
+                    kp_und, kp_oct, bits, kp_ok, kp_ok,
+                    uv, level, viewcos, mb_bits, visible, sfs, th=th)
+                jax.block_until_ready(r[0])
     mark("reloc")
 
     done["total_s"] = round(time.perf_counter() - t_start, 2)

@@ -377,6 +377,11 @@ class Tracking:
         pool = self._ensure_pool()
         pool.sync()
         local_kfs, slots = self._local_block(lf)
+        # loss-diagnosis breadcrumbs (merged into frame_stats by consume)
+        self._prep_diag = {
+            "lf_id": lf.id, "lf_bound": int((lf.mp_ids >= 0).sum()),
+            "lf_ok": int(last_ok.sum()),
+            "pred_t": [round(float(x), 3) for x in t_pred]}
 
         # FIXED local-block size: one compile of the fused step per session.
         # Shape buckets would halve the average matmul size but cost one
@@ -515,6 +520,8 @@ class Tracking:
 
         n1 = int(n1)
         ninl1 = int(ninl1)
+        self._stat.update(getattr(self, "_prep_diag", {}))
+        self._stat["n1"] = n1
         if n1 < 20 or ninl1 < 10:
             # motion-model failure: legacy TrackReferenceKeyFrame fallback
             self._stat["method"] = "refkf"

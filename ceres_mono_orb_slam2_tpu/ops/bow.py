@@ -153,6 +153,125 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3, seed: int 
     return voc
 
 
+def _hamming_to_centers(descs: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """(n, 32)u8 x (k, 32)u8 -> (n, k) int32 Hamming distances via hardware
+    popcount, without materializing the (n, k, 256) unpacked tensor that
+    _kmedians_binary's unpackbits path needs (10 GB at corpus scale)."""
+    out = np.empty((len(descs), len(centers)), np.int32)
+    for j in range(len(centers)):
+        out[:, j] = np.bitwise_count(descs ^ centers[j]).sum(-1, dtype=np.int32)
+    return out
+
+
+def _kmedians_packed(descs: np.ndarray, k: int, rng, iters: int = 6):
+    """Binary k-medians on packed u8 descriptors (majority-vote centers),
+    memory-light for 100k+ member sets. Returns (centers (k',32), assign)."""
+    n = len(descs)
+    k = min(k, n)
+    centers = descs[rng.choice(n, k, replace=False)].copy()
+    for _ in range(iters):
+        assign = _hamming_to_centers(descs, centers).argmin(-1)
+        for j in range(k):
+            sel = descs[assign == j]
+            if len(sel):
+                bits = np.unpackbits(sel, axis=-1)
+                centers[j] = np.packbits(bits.mean(0) >= 0.5)
+    assign = _hamming_to_centers(descs, centers).argmin(-1)
+    return centers, assign
+
+
+def seeded_vocabulary(corpus: np.ndarray, k: int = 10, levels: int = 6,
+                      seed: int = 0, docs=None, iters: int = 6,
+                      max_corpus: int = 400_000) -> Vocabulary:
+    """Full k^levels ORBvoc-SHAPE tree (k=10, L=6 -> 1,111,111 nodes exactly
+    like the reference's ORBvoc.txt) whose populated branches are trained on
+    REAL descriptors: every node with enough corpus members splits by binary
+    k-medians (TemplatedVocabulary::create semantics, HKmeansStep,
+    TemplatedVocabulary.h:298-476), and only member-less branches fill with
+    structure-generated descriptors so the node count stays at ORBvoc scale.
+
+    Rationale (round-5 measurement, tools/diag_vocab.py): a purely
+    structure-generated tree quantizes real descriptors into near-random
+    words — overlapping views share almost no words and loop
+    closure/relocalization never fire. Seeding the tree with a corpus from
+    the same detector (different sequence/seed, like the reference training
+    ORBvoc on unrelated Bovisa/Malaga imagery) restores trained-tree
+    retrieval statistics at the full 1M-word scale.
+
+    `docs`: optional per-image descriptor arrays for TF-IDF weights; without
+    them, corpus-populated words get uniform weight 1 and synthetic-only
+    words a small floor (they can still be hit by unseen descriptors).
+    """
+    rng = np.random.default_rng(seed)
+    corpus = np.asarray(corpus, np.uint8)
+    if len(corpus) > max_corpus:
+        corpus = corpus[rng.choice(len(corpus), max_corpus, replace=False)]
+    level_sizes = [k ** l for l in range(levels + 1)]
+    n = sum(level_sizes)
+    offsets = np.cumsum([0] + level_sizes)
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_level = np.zeros(n, np.int32)
+    children = np.full((n, k), -1, np.int32)
+    members: Dict[int, np.ndarray] = {0: np.arange(len(corpus))}
+    for l in range(levels):
+        lo, hi = offsets[l], offsets[l + 1]
+        nl = level_sizes[l + 1]
+        # bulk: children table + synthetic fill for the WHOLE level (fewer
+        # bit flips deeper down, as in synth_vocabulary); populated nodes
+        # overwrite their children's centers below
+        idx = np.arange(lo, hi, dtype=np.int32)
+        base = hi + (idx - lo) * k
+        children[lo:hi] = base[:, None] + np.arange(k, dtype=np.int32)[None, :]
+        node_level[hi:offsets[l + 2]] = l + 1
+        mask = rng.integers(0, 256, (nl, 32), dtype=np.uint8)
+        for _ in range(l):
+            mask &= rng.integers(0, 256, (nl, 32), dtype=np.uint8)
+        node_desc[hi:offsets[l + 2]] = np.repeat(node_desc[lo:hi], k, axis=0) ^ mask
+        # data pass: split every populated node's members among its children
+        for node in [nd for nd in members if lo <= nd < hi]:
+            mem = members.pop(node)
+            d = corpus[mem]
+            b = children[node, 0]
+            if len(mem) >= 2 * k:
+                centers, assign = _kmedians_packed(d, k, rng, iters)
+            else:
+                centers = np.unique(d, axis=0)[:k]
+                assign = _hamming_to_centers(d, centers).argmin(-1)
+            node_desc[b:b + len(centers)] = centers
+            for j in range(len(centers)):
+                sub = mem[assign == j]
+                if len(sub):
+                    members[b + j] = sub
+    is_leaf = node_level == levels
+    word_id = np.full(n, -1, np.int32)
+    wids = np.nonzero(is_leaf)[0]
+    word_id[wids] = np.arange(len(wids), dtype=np.int32)
+    weights = np.full(len(wids), 0.05, np.float32)  # synthetic-only floor
+    populated = np.array([nd for nd in members if is_leaf[nd]], np.int64)
+    if len(populated):
+        weights[word_id[populated]] = 1.0
+    voc = Vocabulary(k=k, levels=levels, node_desc=node_desc,
+                     children=children, is_leaf=is_leaf, word_id=word_id,
+                     word_weight=weights, node_level=node_level)
+    if docs:
+        transform = make_transform_fn(voc)
+        n_docs = len(docs)
+        df = np.zeros(voc.n_words, np.int64)
+        for d in docs:
+            d = np.asarray(d, np.uint8)
+            if len(d) == 0:
+                continue
+            w, _ = transform(jnp.asarray(d), jnp.ones(len(d), bool))
+            w = np.asarray(w)
+            df[np.unique(w[w >= 0])] += 1
+        idf = np.full(voc.n_words, 0.05, np.float32)
+        nz = df > 0
+        idf[nz] = np.maximum(
+            np.log(n_docs / df[nz].astype(np.float64)), 0.05).astype(np.float32)
+        voc.word_weight[:] = idf
+    return voc
+
+
 def synth_vocabulary(k: int = 10, levels: int = 6, seed: int = 0) -> Vocabulary:
     """Structure-generate a full k^levels vocabulary tree at ORBvoc scale
     (k=10, L=6 -> 1,111,111 nodes / 1M words, the shape the reference loads

@@ -66,6 +66,18 @@ def main():
                   f"mps={slam.map.n_map_points()}", flush=True)
     slam.shutdown()
 
+    pm = slam.local_mapper.pass_ms
+    if pm:
+        print(f"\nmapper pass stage ms (median/p95 over {len(pm)} passes):")
+        for k2 in ("process_new", "cull_mp", "triangulate", "fuse", "lba",
+                   "cull_kf"):
+            vals = [p[k2] for p in pm if k2 in p]
+            if vals:
+                print(f"  {k2}: {np.median(vals):.1f} / "
+                      f"{np.percentile(vals, 95):.1f}")
+        tot = [sum(v for kk, v in p.items() if kk != "kf") for p in pm]
+        print(f"  TOTAL: {np.median(tot):.1f} / {np.percentile(tot, 95):.1f}")
+
     stats = slam.tracker.frame_stats
     # find loss events and print context
     lost_idx = [i for i, s in enumerate(stats) if not s.get("ok", True)]

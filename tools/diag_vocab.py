@@ -60,7 +60,13 @@ def main():
     voc_s = bow.synth_vocabulary(k=10, levels=6, seed=0)
     print(f"synth vocab: {voc_s.n_words:,} words ({time.perf_counter()-t0:.0f}s)")
 
-    for name, voc in (("trained", voc_t), ("synth-1M", voc_s)):
+    t0 = time.perf_counter()
+    voc_d = bow.seeded_vocabulary(np.concatenate(corpus), k=10, levels=6,
+                                  seed=0, docs=corpus)
+    print(f"seeded vocab: {voc_d.n_words:,} words ({time.perf_counter()-t0:.0f}s)")
+
+    for name, voc in (("trained", voc_t), ("synth-1M", voc_s),
+                      ("seeded-1M", voc_d)):
         vec = make_vec(voc)
         s_near, sh_near, n_near = score_pair(vec, d10, d12)
         s_mid, sh_mid, _ = score_pair(vec, d10, d14)

@@ -139,10 +139,41 @@ def main():
                             max_ba_obs=args.ba_obs),
     )
     if args.synth_vocab_levels:
+        # ORBvoc-scale tree SEEDED with real descriptors from a DIFFERENT
+        # sequence (seed+13), like the reference's ORBvoc trained on
+        # unrelated imagery: a purely structure-generated tree quantizes
+        # real descriptors into near-random words and loop closure never
+        # fires (tools/diag_vocab.py). Cached: the build is a one-time ~2-4
+        # minute host k-medians pass.
+        import os
+        import pickle
+
         t0 = time.perf_counter()
-        voc = bow.synth_vocabulary(k=10, levels=args.synth_vocab_levels, seed=0)
-        print(f"vocabulary: {voc.n_words:,} words (synth ORBvoc-scale, "
-              f"{time.perf_counter()-t0:.0f}s)", flush=True)
+        cache = (f"/tmp/seeded_voc_k10_L{args.synth_vocab_levels}"
+                 f"_s{args.seed + 13}_{args.w}x{args.h}.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                voc = pickle.load(f)
+        else:
+            from ceres_mono_orb_slam2_tpu.utils.synthetic import (
+                make_rendered_sequence_device)
+
+            cs = make_rendered_sequence_device(
+                n_frames=120, h=args.h, w=args.w, fx=args.fx, fy=args.fy,
+                seed=args.seed + 13, motion="circle", step=args.step,
+                cache_dir="/tmp/render_cache")
+            ex = ORBExtractor(ORBConfig(n_features=args.features))
+            docs = []
+            for i in range(0, cs.n_frames, 2):
+                fe = ex.extract(cs.images[i])
+                docs.append(np.asarray(fe.desc)[0][np.asarray(fe.valid)[0]])
+            voc = bow.seeded_vocabulary(
+                np.concatenate(docs), k=10, levels=args.synth_vocab_levels,
+                seed=0, docs=docs)
+            with open(cache, "wb") as f:
+                pickle.dump(voc, f)
+        print(f"vocabulary: {voc.n_words:,} words (ORBvoc-scale, "
+              f"corpus-seeded, {time.perf_counter()-t0:.0f}s)", flush=True)
     else:
         ex = ORBExtractor(cfg.orb)
         corpus = []
