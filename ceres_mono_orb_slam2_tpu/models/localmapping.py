@@ -58,6 +58,15 @@ class LocalMapping:
         self.level_sigma2 = config.orb.level_sigma2
         self.inv_sigma2 = config.orb.inv_level_sigma2
         self.n_levels = config.orb.n_levels
+        # device-cached constants for the packed mapper stages: passing
+        # numpy here would re-upload per call (each its own tunnel RPC)
+        self._j_invK = jnp.asarray(np.linalg.inv(self.K).astype(np.float32))
+        self._j_ls2 = jnp.asarray(self.level_sigma2.astype(np.float32))
+        self._j_sfs = jnp.asarray(self.scale_factors.astype(np.float32))
+        self._j_ratio = jnp.float32(1.5 * float(config.orb.scale_factor))
+        self._j_is2 = jnp.asarray(self.inv_sigma2.astype(np.float32))
+        self._j_log_scale = jnp.float32(np.log(config.orb.scale_factor))
+        self._j_bounds = None  # set lazily from map.image_bounds (frame 1)
         self.queue: List[int] = []
         self.recent_points: List[int] = []
         self.abort_ba = False
@@ -248,36 +257,39 @@ class LocalMapping:
             if not nb_kfs:
                 return
             nb_kfs = nb_kfs[: self.TRI_BATCH]
-            B, N = self.TRI_BATCH, len(kf.kp_und)
+            B, N = self.TRI_BATCH, len(kf.mp_ids)
+            # DEVICE-RESIDENT payloads: the keypoint blocks of the current
+            # keyframe and every neighbor are already on device
+            # (KeyFrame.dev, shared with the source frame's arrays). Only the
+            # poses, gates and the mutable free-keypoint masks go up, in ONE
+            # packed int32 buffer — the old path re-uploaded ~1.5 MB across
+            # 17 RPCs per pass (the bulk of the 207 ms/pass profile).
+            cur = kf.dev_payload()
             R2 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
             t2 = np.zeros((B, 3), np.float32)
-            xy2 = np.zeros((B, N, 2), np.float32)
-            oct2 = np.zeros((B, N), np.int32)
-            ang2 = np.zeros((B, N), np.float32)
-            desc2 = np.zeros((B, N, 32), np.uint8)
             free2 = np.zeros((B, N), bool)
             nb_valid = np.zeros(B, bool)
-            for b, kf2 in enumerate(nb_kfs):
+            nb_dev = []
+            for b in range(B):
+                kf2 = nb_kfs[b] if b < len(nb_kfs) else kf
                 R2[b], t2[b] = kf2.Rcw, kf2.tcw
-                xy2[b], oct2[b], ang2[b] = kf2.kp_und, kf2.kp_octave, kf2.kp_angle
-                desc2[b] = kf2.desc
-                free2[b] = (kf2.mp_ids < 0) & kf2.kp_valid
-                nb_valid[b] = True
+                nb_dev.append(kf2.dev_payload())
+                if b < len(nb_kfs):
+                    free2[b] = (kf2.mp_ids < 0) & kf2.kp_valid
+                    nb_valid[b] = True
+            packed = mapping_batch.pack_tri_host(
+                kf.Rcw, kf.tcw, (kf.mp_ids < 0) & kf.kp_valid,
+                R2, t2, free2, nb_valid)
             args = (
-                self.jK, jnp.asarray(np.linalg.inv(self.K).astype(np.float32)),
-                jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
-                jnp.asarray(kf.kp_und), jnp.asarray(kf.kp_octave),
-                jnp.asarray(kf.kp_angle), jnp.asarray(kf.desc),
-                jnp.asarray((kf.mp_ids < 0) & kf.kp_valid),
-                jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(xy2),
-                jnp.asarray(oct2), jnp.asarray(ang2), jnp.asarray(desc2),
-                jnp.asarray(free2), jnp.asarray(nb_valid),
-                jnp.asarray(self.level_sigma2), jnp.asarray(self.scale_factors),
-                jnp.float32(1.5 * float(self.config.orb.scale_factor)))
+                self.jK, self._j_invK, jnp.asarray(packed),
+                cur[0], cur[1], cur[2], cur[3],
+                tuple(d[0] for d in nb_dev), tuple(d[1] for d in nb_dev),
+                tuple(d[2] for d in nb_dev), tuple(d[3] for d in nb_dev),
+                self._j_ls2, self._j_sfs, self._j_ratio)
 
         # ---- device solve: LOCK RELEASED so tracking never waits behind it
         idx, good, X = jax.device_get(
-            mapping_batch.triangulate_with_neighbors(*args))
+            mapping_batch.triangulate_with_neighbors_packed(*args, B=B, N=N))
 
         # ---- apply (under map lock): host creation in neighbor order; first
         # neighbor to triangulate a keypoint slot wins (the reference's
@@ -392,34 +404,37 @@ class LocalMapping:
 
             R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
             t = np.zeros((B, 3), np.float32)
-            kp_xy = np.zeros((B, N, 2), np.float32)
-            kp_oct = np.zeros((B, N), np.int32)
-            kp_desc = np.zeros((B, N, 32), np.uint8)
-            kp_valid = np.zeros((B, N), bool)
             mvalid = np.zeros((B, Mb), bool)
             mp_arr = np.asarray(mp_ids, np.int64)
-            for b, tkf in enumerate(targets):
+            # target keypoint payloads stay DEVICE-RESIDENT (KeyFrame.dev);
+            # only poses + the mutable gates + the map-point block upload,
+            # in ONE packed buffer (was ~13 RPCs / ~1.3 MB per chunk)
+            tgt_dev = []
+            for b in range(B):
+                tkf = targets[b] if b < len(targets) else targets[0]
+                tgt_dev.append(tkf.dev_payload())
+                if b >= len(targets):
+                    continue
                 R[b], t[b] = tkf.Rcw, tkf.tcw
-                kp_xy[b], kp_oct[b], kp_desc[b] = tkf.kp_und, tkf.kp_octave, tkf.desc
-                kp_valid[b] = tkf.kp_valid
                 # a point the target already observes is excluded from its fuse
                 # (reference ORBmatcher.cc:738 IsInKeyFrame check); kf.mp_ids is
                 # the exact inverse of mp.observations (Map.add_observation), so
                 # one vectorized isin replaces an M-long membership loop
                 mvalid[b, :M] = ~np.isin(mp_arr, tkf.mp_ids[tkf.mp_ids >= 0])
+            packed = mapping_batch.pack_fuse_host(
+                R, t, mvalid, pos, normal, mind, maxd, desc)
 
         # device solve with the map lock released (tracking proceeds)
-        idx, valid = jax.device_get(mapping_batch.fuse_into_targets(
-            self.jK, jnp.asarray(R), jnp.asarray(t),
-            jnp.asarray(kp_xy), jnp.asarray(kp_oct), jnp.asarray(kp_desc),
-            jnp.asarray(kp_valid),
-            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
-            jnp.asarray(maxd), jnp.asarray(desc), jnp.asarray(mvalid),
-            jnp.float32(np.log(self.config.orb.scale_factor)), self.n_levels,
-            jnp.asarray(self.scale_factors),
-            jnp.asarray(self.inv_sigma2.astype(np.float32)),
-            bounds=(jnp.asarray(m.image_bounds)
-                    if m.image_bounds is not None else None), th=th,
+        if self._j_bounds is None and m.image_bounds is not None:
+            self._j_bounds = jnp.asarray(m.image_bounds)
+        idx, valid = jax.device_get(mapping_batch.fuse_into_targets_packed(
+            self.jK, jnp.asarray(packed),
+            tuple(d[0] for d in tgt_dev), tuple(d[1] for d in tgt_dev),
+            tuple(d[3] for d in tgt_dev), tuple(d[4] for d in tgt_dev),
+            self._j_log_scale, self._j_sfs, self._j_is2,
+            (self._j_bounds if self._j_bounds is not None
+             else jnp.asarray(np.array([-1e6, 1e6, -1e6, 1e6], np.float32))),
+            B=B, M=Mb, n_levels=self.n_levels, th=th,
         ))
         # replacements defer the target's distinctive-descriptor recompute
         # (reference MapPoint::Replace runs it inline, ~0.2 ms each — ~6k

@@ -171,7 +171,7 @@ class KeyFrame:
     __slots__ = (
         "id", "frame_id", "timestamp", "Rcw", "tcw",
         "_kp_xy", "_kp_und", "_kp_octave", "_kp_angle", "_kp_response",
-        "_desc", "_kp_valid", "_src_frame",
+        "_desc", "_kp_valid", "_src_frame", "dev",
         "mp_ids", "covisible", "ordered_neighbors", "parent", "children",
         "loop_edges", "bad", "not_erase", "to_be_erased", "bow_vec",
         "Tcw_gba", "gba_for_kf",
@@ -198,6 +198,19 @@ class KeyFrame:
             self._src_frame = None
             for name in self._PAYLOAD:
                 setattr(self, "_" + name, getattr(frame, name))
+        # device-resident keypoint payload (und, octave, angle, desc, valid):
+        # the mapper's batched stages (triangulation, fuse) consume neighbor
+        # keyframe payloads on DEVICE — re-uploading them from host cost the
+        # bulk of the measured 207 ms/pass triangulation stage through the
+        # tunnel (round-5 profile). Immutable jax arrays shared with the
+        # source frame; ~100 KB HBM per keyframe, dropped at SetBadFlag.
+        # None for keyframes rebuilt from a saved map (host arrays only) —
+        # consumers lazily upload once via dev_payload().
+        try:
+            self.dev = (frame.j_und, frame.j_octave, frame.j_angle,
+                        frame.j_desc, frame.j_valid)
+        except Exception:
+            self.dev = None
         self.mp_ids = frame.mp_ids.copy()  # (N,) int64, -1 = unassociated
         self.covisible: Dict[int, int] = {}  # kf_id -> weight
         self.ordered_neighbors: List[int] = []
@@ -221,6 +234,18 @@ class KeyFrame:
         for name in self._PAYLOAD:
             setattr(self, "_" + name, getattr(f, name))
         self._src_frame = None
+
+    def dev_payload(self):
+        """(j_und, j_octave, j_angle, j_desc, j_valid) on device. Keyframes
+        created live share the source frame's arrays (zero transfer);
+        map-loaded keyframes upload their host payload once on first use."""
+        if self.dev is None:
+            import jax.numpy as jnp
+
+            self.dev = (jnp.asarray(self.kp_und), jnp.asarray(self.kp_octave),
+                        jnp.asarray(self.kp_angle), jnp.asarray(self.desc),
+                        jnp.asarray(self.kp_valid))
+        return self.dev
 
     @property
     def n_kp(self) -> int:
@@ -633,6 +658,7 @@ class Map:
             if par is not None:
                 par.children.discard(kf.id)
         kf.bad = True
+        kf.dev = None  # free the ~100 KB device payload
         # record the pose relative to the (re-parented-from) parent so
         # trajectory entries referencing this keyframe stay resolvable
         # (reference mTcp = Tcw · parent.Twc, KeyFrame.cc:543)

@@ -146,27 +146,38 @@ def prewarm(slam, h: int, w: int) -> dict:
     lm = slam.local_mapper
     B = lm.FUSE_BATCH
     Mb = _bucket(N, 256)
-    r = mapping_batch.fuse_into_targets(
-        jK, jnp.tile(eye, (B, 1, 1)), jnp.zeros((B, 3), jnp.float32),
-        jnp.zeros((B, N, 2), jnp.float32), jnp.zeros((B, N), jnp.int32),
-        jnp.zeros((B, N, 32), jnp.uint8), jnp.zeros((B, N), bool),
-        jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
-        jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
-        jnp.zeros((Mb, 32), jnp.uint8), jnp.zeros((B, Mb), bool),
-        log_scale, nlv, sfs, is2, bounds=tr.j_bounds, th=3.0)
+    kp_und = jnp.zeros((N, 2), jnp.float32)
+    kp_oct = jnp.zeros((N,), jnp.int32)
+    kp_desc = jnp.zeros((N, 32), jnp.uint8)
+    kp_ok = jnp.zeros((N,), bool)
+    packed_fuse = mapping_batch.pack_fuse_host(
+        np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+        np.zeros((B, 3), np.float32), np.zeros((B, Mb), bool),
+        np.zeros((Mb, 3), np.float32), np.zeros((Mb, 3), np.float32),
+        np.zeros(Mb, np.float32), np.zeros(Mb, np.float32),
+        np.zeros((Mb, 32), np.uint8))
+    r = mapping_batch.fuse_into_targets_packed(
+        jK, jnp.asarray(packed_fuse),
+        tuple(kp_und for _ in range(B)), tuple(kp_oct for _ in range(B)),
+        tuple(kp_desc for _ in range(B)), tuple(kp_ok for _ in range(B)),
+        lm._j_log_scale, lm._j_sfs, lm._j_is2, tr.j_bounds,
+        B=B, M=Mb, n_levels=nlv, th=3.0)
     jax.block_until_ready(r)
     mark("fuse_forward")
 
-    # ---- mapper: batched triangulation (one fixed shape) ------------------
+    # ---- mapper: batched triangulation (one fixed shape, packed path) -----
     TB = lm.TRI_BATCH
-    r = mapping_batch.triangulate_with_neighbors(
-        jK, jnp.asarray(np.linalg.inv(cfg.camera.K).astype(np.float32)),
-        eye, zero3, kp_und, kp_oct, zang, kp_desc, kp_ok,
-        jnp.tile(eye, (TB, 1, 1)), jnp.zeros((TB, 3), jnp.float32),
-        jnp.zeros((TB, N, 2), jnp.float32), jnp.zeros((TB, N), jnp.int32),
-        jnp.zeros((TB, N), jnp.float32), jnp.zeros((TB, N, 32), jnp.uint8),
-        jnp.zeros((TB, N), bool), jnp.zeros((TB,), bool),
-        ls2, sfs, jnp.float32(1.5 * cfg.orb.scale_factor))
+    packed_tri = mapping_batch.pack_tri_host(
+        np.eye(3, dtype=np.float32), np.zeros(3, np.float32), np.zeros(N, bool),
+        np.tile(np.eye(3, dtype=np.float32), (TB, 1, 1)),
+        np.zeros((TB, 3), np.float32), np.zeros((TB, N), bool),
+        np.zeros(TB, bool))
+    r = mapping_batch.triangulate_with_neighbors_packed(
+        jK, lm._j_invK, jnp.asarray(packed_tri),
+        kp_und, kp_oct, zang, kp_desc,
+        tuple(kp_und for _ in range(TB)), tuple(kp_oct for _ in range(TB)),
+        tuple(zang for _ in range(TB)), tuple(kp_desc for _ in range(TB)),
+        lm._j_ls2, lm._j_sfs, lm._j_ratio, B=TB, N=N)
     jax.block_until_ready(r)
     mark("triangulate")
 

@@ -17,11 +17,92 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.ops import matcher, twoview
 from ceres_mono_orb_slam2_tpu.ops.frustum import frustum_and_scale
+
+
+def pack_bits_host(mask: np.ndarray) -> np.ndarray:
+    """(..., N) bool -> (..., ceil(N/32)) int32 little-bit-endian words."""
+    N = mask.shape[-1]
+    W = (N + 31) // 32
+    m = np.zeros(mask.shape[:-1] + (W * 32,), np.uint32)
+    m[..., :N] = mask
+    m = m.reshape(mask.shape[:-1] + (W, 32))
+    weights = np.uint32(1) << np.arange(32, dtype=np.uint32)
+    return (m * weights).sum(-1, dtype=np.uint32).view(np.int32)
+
+
+def unpack_bits_dev(words: jnp.ndarray, N: int) -> jnp.ndarray:
+    """Traced inverse of pack_bits_host: (..., W) int32 -> (..., N) bool."""
+    w = words.astype(jnp.uint32)
+    bits = (w[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.reshape(w.shape[:-1] + (-1,))[..., :N].astype(bool)
+
+
+TRI_HDR = 12  # R1 (9) + t1 (3), f32 bitcast
+
+
+def pack_tri_host(R1, t1, free1, R2, t2, free2, nb_valid) -> np.ndarray:
+    """ONE int32 upload carrying every triangulation input that is not
+    already device-resident: the poses, the neighbor gate, and the mutable
+    free-keypoint masks (mp_ids bindings change every frame; the keypoint
+    payloads themselves live on device via KeyFrame.dev). Layout:
+      [0:12]              R1 + t1, f32 bitcast
+      [12:12+12B]         per-neighbor R2 + t2, f32 bitcast
+      [12+12B:12+13B]     nb_valid
+      [.. : .. + W]       free1 bit-packed (W = ceil(N/32))
+      [.. : .. + B*W]     free2 bit-packed"""
+    B, N = free2.shape
+    W = (N + 31) // 32
+    buf = np.empty(12 + 13 * B + W + B * W, np.int32)
+    hdr = np.empty(12, np.float32)
+    hdr[:9] = np.asarray(R1, np.float32).ravel()
+    hdr[9:] = np.asarray(t1, np.float32)
+    buf[:12] = hdr.view(np.int32)
+    nb = np.concatenate([np.asarray(R2, np.float32).reshape(B, 9),
+                         np.asarray(t2, np.float32).reshape(B, 3)], axis=1)
+    buf[12:12 + 12 * B] = nb.ravel().view(np.int32)
+    buf[12 + 12 * B:12 + 13 * B] = np.asarray(nb_valid, np.int32)
+    buf[12 + 13 * B:12 + 13 * B + W] = pack_bits_host(free1)
+    buf[12 + 13 * B + W:] = pack_bits_host(free2).ravel()
+    return buf
+
+
+@partial(jax.jit, static_argnames=("B", "N"))
+def triangulate_with_neighbors_packed(
+    K, invK, packed,
+    cur_und, cur_oct, cur_ang, cur_desc,
+    nb_und, nb_oct, nb_ang, nb_desc,  # tuples of B device (N, ...) arrays
+    level_sigma2, scale_factors, ratio_factor, B: int, N: int,
+):
+    """triangulate_with_neighbors fed from DEVICE-RESIDENT keyframe payloads
+    (KeyFrame.dev) + ONE packed int32 upload. The unpacked path re-uploaded
+    ~17 host arrays per pass (~1.5 MB, each its own RPC through the axon
+    tunnel) — the measured bulk of the 207 ms/pass triangulation stage."""
+    W = (N + 31) // 32
+    hdr = jax.lax.bitcast_convert_type(packed[:12], jnp.float32)
+    R1 = hdr[:9].reshape(3, 3)
+    t1 = hdr[9:12]
+    nb = jax.lax.bitcast_convert_type(
+        packed[12:12 + 12 * B], jnp.float32).reshape(B, 12)
+    R2 = nb[:, :9].reshape(B, 3, 3)
+    t2 = nb[:, 9:12]
+    nb_valid = packed[12 + 12 * B:12 + 13 * B] > 0
+    free1 = unpack_bits_dev(packed[12 + 13 * B:12 + 13 * B + W], N)
+    free2 = unpack_bits_dev(
+        packed[12 + 13 * B + W:].reshape(B, W), N)
+    xy2 = jnp.stack(nb_und)
+    oct2 = jnp.stack(nb_oct)
+    ang2 = jnp.stack(nb_ang)
+    desc2 = jnp.stack(nb_desc)
+    return triangulate_with_neighbors(
+        K, invK, R1, t1, cur_und, cur_oct, cur_ang, cur_desc, free1,
+        R2, t2, xy2, oct2, ang2, desc2, free2, nb_valid,
+        level_sigma2, scale_factors, ratio_factor)
 
 
 def _skew(v):
@@ -110,7 +191,66 @@ def triangulate_with_neighbors(
     return jax.vmap(per_neighbor)(R2, t2, xy2, oct2, ang2, desc2, free2, nb_valid)
 
 
-@partial(jax.jit, static_argnames=("th",))
+def pack_fuse_host(R, t, mvalid, pos, normal, mind, maxd, desc) -> np.ndarray:
+    """ONE int32 upload for the forward-fuse batch: target poses, the
+    per-target point-validity mask (bit-packed), and the shared map-point
+    block (positions/normals/depth-range f32-bitcast + descriptors). The
+    target keypoint payloads stay device-resident (KeyFrame.dev). Layout:
+      [0:12B]                 per-target R + t, f32 bitcast
+      [12B:12B+B*Wm]          mvalid bits (Wm = ceil(M/32))
+      [..:..+8M]              pos(3M) + normal(3M) + mind(M) + maxd(M), f32
+      [..:..+8M]              desc (M,32)u8 viewed as (M,8)i32"""
+    B = R.shape[0]
+    M = pos.shape[0]
+    Wm = (M + 31) // 32
+    buf = np.empty(12 * B + B * Wm + 8 * M + 8 * M, np.int32)
+    nb = np.concatenate([np.asarray(R, np.float32).reshape(B, 9),
+                         np.asarray(t, np.float32).reshape(B, 3)], axis=1)
+    buf[:12 * B] = nb.ravel().view(np.int32)
+    buf[12 * B:12 * B + B * Wm] = pack_bits_host(mvalid).ravel()
+    o = 12 * B + B * Wm
+    fblock = np.concatenate([
+        np.asarray(pos, np.float32).ravel(),
+        np.asarray(normal, np.float32).ravel(),
+        np.asarray(mind, np.float32), np.asarray(maxd, np.float32)])
+    buf[o:o + 8 * M] = fblock.view(np.int32)
+    buf[o + 8 * M:] = np.ascontiguousarray(
+        np.asarray(desc, np.uint8)).view(np.int32).ravel()
+    return buf
+
+
+@partial(jax.jit, static_argnames=("B", "M", "n_levels", "th"))
+def fuse_into_targets_packed(
+    K, packed,
+    kp_und, kp_oct, kp_desc, kp_valid,  # tuples of B device (N,...) arrays
+    log_scale, scale_factors, inv_level_sigma2, bounds,
+    B: int, M: int, n_levels: int = 8, th: float = 3.0,
+):
+    """fuse_into_targets fed from DEVICE-RESIDENT target keyframe payloads
+    + ONE packed upload (see pack_fuse_host)."""
+    Wm = (M + 31) // 32
+    nb = jax.lax.bitcast_convert_type(
+        packed[:12 * B], jnp.float32).reshape(B, 12)
+    R = nb[:, :9].reshape(B, 3, 3)
+    t = nb[:, 9:12]
+    mvalid = unpack_bits_dev(
+        packed[12 * B:12 * B + B * Wm].reshape(B, Wm), M)
+    o = 12 * B + B * Wm
+    fblock = jax.lax.bitcast_convert_type(packed[o:o + 8 * M], jnp.float32)
+    pos = fblock[:3 * M].reshape(M, 3)
+    normal = fblock[3 * M:6 * M].reshape(M, 3)
+    mind = fblock[6 * M:7 * M]
+    maxd = fblock[7 * M:8 * M]
+    desc = jax.lax.bitcast_convert_type(
+        packed[o + 8 * M:].reshape(M, 8), jnp.uint8).reshape(M, 32)
+    return fuse_into_targets(
+        K, R, t, jnp.stack(kp_und), jnp.stack(kp_oct), jnp.stack(kp_desc),
+        jnp.stack(kp_valid), pos, normal, mind, maxd, desc, mvalid,
+        log_scale, n_levels, scale_factors, inv_level_sigma2,
+        bounds=bounds, th=th)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "th"))
 def fuse_into_targets(
     K, R, t,                        # (B,3,3), (B,3) target keyframe poses
     kp_xy, kp_oct, kp_desc, kp_valid,  # (B,N,...) target keypoints

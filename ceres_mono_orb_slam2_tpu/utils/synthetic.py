@@ -431,6 +431,9 @@ def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
         imgs = render_batch(*jargs, jnp.asarray(Rc.astype(np.float32)),
                             jnp.asarray(tc.astype(np.float32)), h, w)
         out.append(np.asarray(imgs)[: j - i])
+        # progress heartbeat: long silent renders look like a hung tunnel to
+        # log-mtime watchdogs (tools/watchdog_run.sh)
+        print(f"render {j}/{n}", flush=True)
     return np.concatenate(out)
 
 
