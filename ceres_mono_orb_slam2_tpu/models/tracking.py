@@ -522,6 +522,10 @@ class Tracking:
         ninl1 = int(ninl1)
         self._stat.update(getattr(self, "_prep_diag", {}))
         self._stat["n1"] = n1
+        # stage-2 gate funnel: local points in frustum+viewcos+scale vs
+        # descriptor-matched vs final inliers (loss diagnosis, round 5)
+        self._stat["n_vis"] = int(visible[: len(slots)].sum())
+        self._stat["n_assoc"] = int(assoc.sum())
         if n1 < 20 or ninl1 < 10:
             # motion-model failure: legacy TrackReferenceKeyFrame fallback
             self._stat["method"] = "refkf"

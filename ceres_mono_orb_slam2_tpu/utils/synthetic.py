@@ -437,6 +437,27 @@ def render_frames_device(planes: List[Plane], K, Rcw, tcw, h: int, w: int,
     return np.concatenate(out)
 
 
+def tunnel_canary():
+    """Exercise the first LARGE device->host fetch of the process up front.
+
+    The axon tunnel intermittently hangs a process's first big device_get
+    forever (KNOWN_ISSUES round 5); when it does, better to hang HERE —
+    one minute into the run, before the render/prewarm investment — where a
+    log-watchdog (tools/watchdog_run.sh) can kill and retry cheaply. A
+    process whose canary completes has not been observed to hang later.
+    Staircase of sizes, with progress prints for the watchdog's mtime."""
+    import time as _time
+
+    import jax.numpy as _jnp
+
+    for kb in (4, 64, 256, 1024):
+        t0 = _time.perf_counter()
+        x = _jnp.arange(kb * 256, dtype=_jnp.float32)  # kb KiB
+        np.asarray(x + 1.0)
+        print(f"canary {kb}KiB ok ({_time.perf_counter() - t0:.2f}s)",
+              flush=True)
+
+
 def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: float,
                                   motion: str = "strafe", step: float = 0.06,
                                   seed: int = 0, noise: float = 1.0,

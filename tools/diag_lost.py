@@ -9,6 +9,9 @@ import sys
 import time
 
 faulthandler.register(signal.SIGUSR2, all_threads=True)
+# (a timed faulthandler dump was here during round-5 diagnosis; removed —
+# the dump write resets watchdog_run.sh's mtime stall clock and every hang
+# shows the same stack: the process's first device fetch, KNOWN_ISSUES)
 
 sys.path.insert(0, "/root/repo")
 
@@ -25,6 +28,8 @@ def main():
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--threaded", action="store_true")
     ap.add_argument("--prewarm", action="store_true")
+    ap.add_argument("--pace-fps", type=float, default=0.0,
+                    help="reference-style frame pacing (main.cc:97-106)")
     ap.add_argument("--ba-points", type=int, default=2048)
     ap.add_argument("--ba-obs", type=int, default=8192)
     ap.add_argument("--local-points", type=int, default=4096)
@@ -34,7 +39,9 @@ def main():
     from ceres_mono_orb_slam2_tpu.utils.config import (
         CameraConfig, ORBConfig, SlamConfig, StaticShapes)
     from ceres_mono_orb_slam2_tpu.utils.synthetic import (
-        make_rendered_sequence_device)
+        make_rendered_sequence_device, tunnel_canary)
+
+    tunnel_canary()
 
     t0 = time.perf_counter()
     seq = make_rendered_sequence_device(
@@ -59,7 +66,12 @@ def main():
         print(f"prewarm: {timings}", flush=True)
     states = []
     for k in range(seq.n_frames):
+        t0 = time.perf_counter()
         T = slam.track_monocular(seq.images[k], seq.timestamps[k])
+        if args.pace_fps > 0:
+            rem = 1.0 / args.pace_fps - (time.perf_counter() - t0)
+            if rem > 0:
+                time.sleep(rem)
         states.append(slam.get_tracking_state())
         if k % 20 == 0:
             print(f"f{k:03d}: {states[-1]} kfs={slam.map.n_keyframes()} "
@@ -79,6 +91,19 @@ def main():
         print(f"  TOTAL: {np.median(tot):.1f} / {np.percentile(tot, 95):.1f}")
 
     stats = slam.tracker.frame_stats
+    fused = [s for s in stats if s.get("method") == "fused"
+             and "fetch_ms" in s and s.get("track_ms")]
+    if fused:
+        med = lambda k2: float(np.median([s[k2] for s in fused]))  # noqa: E731
+        cons = [s["track_ms"] - s.get("prepare_ms", 0)
+                - s.get("dispatch_ms", 0) - s.get("fetch_ms", 0)
+                for s in fused]
+        print(f"\nfused-frame phase ms over {len(fused)} frames: "
+              f"track={med('track_ms'):.1f} prepare={med('prepare_ms'):.1f} "
+              f"dispatch={med('dispatch_ms'):.1f} fetch={med('fetch_ms'):.1f} "
+              f"consume={float(np.median(cons)):.1f} "
+              f"(p95 track={float(np.percentile([s['track_ms'] for s in fused], 95)):.1f})")
+
     # find loss events and print context
     lost_idx = [i for i, s in enumerate(stats) if not s.get("ok", True)]
     print(f"\n{len(lost_idx)} not-ok frames of {len(stats)}")

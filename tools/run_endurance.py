@@ -11,10 +11,16 @@ Writes a JSON report to --out (default /tmp/endurance_report.json).
 """
 
 import argparse
+import faulthandler
 import json
 import logging
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR2, all_threads=True)
+# SIGUSR2 gives an on-demand stack; no timed dump (it would reset
+# watchdog_run.sh's mtime stall clock — KNOWN_ISSUES round 5)
 
 sys.path.insert(0, "/root/repo")
 
@@ -79,6 +85,13 @@ def main():
                          "shape); the KITTI config needs 4096 — measured "
                          "live windows there want ~4k points / ~16k obs")
     ap.add_argument("--ba-obs", type=int, default=8192)
+    ap.add_argument("--local-kfs", type=int, default=12,
+                    help="max_local_keyframes: the local-BA free-window cap "
+                         "(the reference optimizes ALL covisibles, "
+                         "CeresOptimizer.cc:351-360; the cap bounds the BA "
+                         "pose-shape family to ONE prewarmed program). Raise "
+                         "it to measure the cap's ATE cost (VERDICT r4 "
+                         "item #8)")
     ap.add_argument("--synth-vocab-levels", type=int, default=0,
                     help="use a structure-generated ORBvoc-scale vocabulary "
                          "with k=10 and this many levels (6 -> 1M words, the "
@@ -99,6 +112,15 @@ def main():
                          "warmup window (the steady-state contract: prewarm "
                          "covers every reachable shape bucket)")
     ap.add_argument("--threaded", action="store_true")
+    ap.add_argument("--pace-fps", type=float, default=0.0,
+                    help="pace frames at this camera rate, sleeping out the "
+                         "remainder of each 1/fps period like the reference "
+                         "driver (main.cc:97-106 usleep(T-ttrack); KITTI is "
+                         "10 Hz). The sleep is when the mapping worker is "
+                         "GUARANTEED host time — max-rate driving on a "
+                         "1-core host starves it and the local map lags the "
+                         "camera. fps stats still use the per-call track "
+                         "times, exactly like the reference's ttrack")
     ap.add_argument("--pipelined", action="store_true",
                     help="pipelined tracking (one frame of pose latency); "
                          "ATE/tracked-rate evaluate from the drained "
@@ -107,6 +129,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from ceres_mono_orb_slam2_tpu.utils.synthetic import tunnel_canary
+
+    tunnel_canary()
     jax.config.update("jax_log_compiles", True)
     counter = CompileCounter()
     for name in ("jax._src.dispatch", "jax._src.interpreters.pxla", "jax"):
@@ -134,7 +160,7 @@ def main():
         orb=ORBConfig(n_features=args.features),
         shapes=StaticShapes(max_local_points=args.max_local_points,
                             device_pool_cap=args.pool_cap,
-                            max_local_keyframes=12,
+                            max_local_keyframes=args.local_kfs,
                             max_ba_points=args.ba_points,
                             max_ba_obs=args.ba_obs),
     )
@@ -203,6 +229,10 @@ def main():
         t0 = time.perf_counter()
         T = slam.track_monocular(img, seq.timestamps[k])
         times.append(time.perf_counter() - t0)
+        if args.pace_fps > 0:
+            rem = 1.0 / args.pace_fps - times[-1]
+            if rem > 0:
+                time.sleep(rem)
         ok = T is not None
         frame_ok.append(ok)
         peak_points = max(peak_points, slam.map.n_map_points())
