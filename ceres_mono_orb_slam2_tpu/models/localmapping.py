@@ -92,12 +92,25 @@ class LocalMapping:
         self.recent_points.clear()
 
     def process_queue(self):
-        while self.queue:
-            kf_id = self.queue.pop(0)
-            kf = self.map.keyframes.get(kf_id)
-            if kf is None or kf.bad:
-                continue
-            self._process(kf)
+        # AcceptKeyFrames(false) while a mapping pass runs (reference
+        # LocalMapping::Run, LocalMapping.cc:37-60): NeedNewKeyFrame's c1b
+        # then refuses inserts until the pass finishes (it still fires
+        # InterruptBA so a WANTED keyframe shortens the pass). Without this
+        # gate the round-5 threaded runs keyframe-spammed while the mapper
+        # was busy — one KF per frame with one-frame baselines, whose
+        # triangulations all fail the baseline/median-depth gate; the local
+        # map stopped maturing and tracking collapsed within ~25 frames
+        # (serial runs, where the mapper drains between frames, were clean).
+        self._accepting = False
+        try:
+            while self.queue:
+                kf_id = self.queue.pop(0)
+                kf = self.map.keyframes.get(kf_id)
+                if kf is None or kf.bad:
+                    continue
+                self._process(kf)
+        finally:
+            self._accepting = True
 
     # ------------------------------------------------------------- pipeline
 
