@@ -256,7 +256,7 @@ def make_sequence(
     w: int = 640,
     fx: float = 500.0,
     fy: float = 500.0,
-    motion: str = "strafe",  # "strafe" | "forward" | "orbit" | "circle"
+    motion: str = "strafe",  # "strafe" | "forward" | "orbit" | "circle" | "spiral"
     step: float = 0.06,
     seed: int = 0,
     noise: float = 1.0,
@@ -290,7 +290,7 @@ def make_sequence(
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-    if motion == "circle":
+    if motion in ("circle", "spiral"):
         planes = ring_world(rng)
     else:
         planes = default_world(rng, extent=max(n_frames * step * 1.5, 10.0))
@@ -308,6 +308,18 @@ def make_sequence(
             # outward; revisits the start after 2*pi/step frames
             a = step * k
             c = np.array([3.0 * np.sin(a), 0.02 * np.sin(3 * a), 3.0 * np.cos(a)], np.float64)
+            w_rot = np.array([0.0, a, 0.0], np.float64)
+        elif motion == "spiral":
+            # circle + a slow vertical rise spanning the ring walls' height:
+            # each revolution re-observes the same walls (loop closure fires
+            # every lap) from a slightly higher band, so live keyframes
+            # ACCUMULATE across revolutions under the reference's 90 %
+            # redundancy culling rule instead of saturating at one band's
+            # worth — the KITTI-style sustained-map-growth trajectory
+            a = step * k
+            y = -1.3 + 2.6 * k / max(n_frames - 1, 1)
+            c = np.array([3.0 * np.sin(a), y + 0.02 * np.sin(3 * a),
+                          3.0 * np.cos(a)], np.float64)
             w_rot = np.array([0.0, a, 0.0], np.float64)
         else:  # orbit
             ang = 0.015 * k
@@ -491,7 +503,7 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
     rng = np.random.default_rng(seed)
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-    if motion == "circle":
+    if motion in ("circle", "spiral"):
         planes = ring_world(rng)
     else:
         planes = default_world(rng, extent=max(n_frames * step * 1.5, 10.0))
@@ -506,6 +518,13 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
         elif motion == "circle":
             a = step * k
             c = np.array([3.0 * np.sin(a), 0.02 * np.sin(3 * a), 3.0 * np.cos(a)], np.float64)
+            w_rot = np.array([0.0, a, 0.0], np.float64)
+        elif motion == "spiral":
+            # see make_sequence: per-lap vertical rise for live-KF growth
+            a = step * k
+            y = -1.3 + 2.6 * k / max(n_frames - 1, 1)
+            c = np.array([3.0 * np.sin(a), y + 0.02 * np.sin(3 * a),
+                          3.0 * np.cos(a)], np.float64)
             w_rot = np.array([0.0, a, 0.0], np.float64)
         else:
             ang = 0.015 * k

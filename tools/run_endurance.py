@@ -63,6 +63,14 @@ class CompileCounter(logging.Handler):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=520)
+    ap.add_argument("--motion", default="circle", choices=["circle", "spiral"],
+                    help="circle: revisit the same ring band every lap (live "
+                         "KFs saturate under redundancy culling); spiral: "
+                         "circle + slow vertical rise so live keyframes "
+                         "accumulate lap over lap (the KITTI-style "
+                         "sustained-growth trajectory, VERDICT r4 item #1's "
+                         "200+ live-KF ask) while loop closure still fires "
+                         "every revolution")
     ap.add_argument("--step", type=float, default=0.06)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--features", type=int, default=2000)
@@ -146,12 +154,12 @@ def main():
 
         seq = make_rendered_sequence_device(
             n_frames=args.frames, h=args.h, w=args.w, fx=args.fx, fy=args.fy,
-            seed=args.seed, motion="circle", step=args.step,
+            seed=args.seed, motion=args.motion, step=args.step,
             cache_dir="/tmp/render_cache")
     else:
         seq = make_sequence(n_frames=args.frames, h=args.h, w=args.w,
                             fx=args.fx, fy=args.fy, seed=args.seed,
-                            motion="circle", step=args.step)
+                            motion=args.motion, step=args.step)
     print(f"sequence ready ({time.perf_counter() - t_render:.0f}s)", flush=True)
 
     cfg = SlamConfig(
