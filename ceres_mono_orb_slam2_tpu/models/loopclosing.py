@@ -552,7 +552,8 @@ class LoopClosing:
         if self.threaded_gba:
             import threading
 
-            self.gba_thread = threading.Thread(target=_gba, daemon=True)
+            self.gba_thread = threading.Thread(target=_gba, name="gba",
+                                               daemon=True)
             self.gba_thread.start()
         else:
             _gba()

@@ -56,6 +56,10 @@ def prewarm(slam, h: int, w: int) -> dict:
 
     def mark(name):
         done[name] = round(time.perf_counter() - t_start, 2)
+        # stdout heartbeat: prewarm phases are minutes-long and otherwise
+        # silent — watchdog wrappers (tools/watchdog_run.sh) use log growth
+        # as the liveness signal (KNOWN_ISSUES round 5, tunnel hangs)
+        print(f"prewarm[{name}] t+{done[name]}s", flush=True)
 
     # image bounds are normally derived from the first frame (build_frame)
     if tr.bounds is None:

@@ -64,7 +64,8 @@ class MonoSLAM:
         self._worker_busy = False
         self._shutdown = False
         if threaded:
-            self._worker = threading.Thread(target=self._mapping_worker, daemon=True)
+            self._worker = threading.Thread(target=self._mapping_worker,
+                                            name="mapper", daemon=True)
             self._worker.start()
         self.use_viewer = use_viewer
         self.viewer = None

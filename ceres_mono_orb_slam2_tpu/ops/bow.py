@@ -228,6 +228,9 @@ def seeded_vocabulary(corpus: np.ndarray, k: int = 10, levels: int = 6,
             mask &= rng.integers(0, 256, (nl, 32), dtype=np.uint8)
         node_desc[hi:offsets[l + 2]] = np.repeat(node_desc[lo:hi], k, axis=0) ^ mask
         # data pass: split every populated node's members among its children
+        print(f"seeded_vocabulary: level {l + 1}/{levels} "
+              f"({sum(1 for nd in members if lo <= nd < hi)} populated nodes)",
+              flush=True)  # liveness heartbeat for watchdog-wrapped runs
         for node in [nd for nd in members if lo <= nd < hi]:
             mem = members.pop(node)
             d = corpus[mem]
