@@ -11,12 +11,15 @@ reference's std::vector<list<KeyFrame*>>.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List
 
 import numpy as np
 import jax.numpy as jnp
 
 from ceres_mono_orb_slam2_tpu.ops import bow, matcher
+
+log = logging.getLogger(__name__)
 
 
 class KeyFrameDatabase:
@@ -77,6 +80,11 @@ class KeyFrameDatabase:
             return []
         max_common = max(counts.values())
         min_common = 0.8 * max_common
+        if log.isEnabledFor(logging.DEBUG):
+            _top = sorted(counts.values(), reverse=True)[:6]
+            log.debug("loop_cand kf=%d sharers=%d max_common=%d top=%s "
+                      "min_score=%.3f", kf.id, len(counts), max_common, _top,
+                      min_score)
         # score keyframes passing the common-word and min-score gates
         scored = []
         for kf_id, c in counts.items():

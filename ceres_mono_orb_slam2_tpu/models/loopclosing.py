@@ -130,6 +130,11 @@ class LoopClosing:
             if okf is not None and not okf.bad:
                 min_score = min(min_score, bow.l1_score(v, self.db.kf_bow(okf)))
         candidates = self.db.detect_loop_candidates(kf, min_score)
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug(
+                "detect_loop kf=%d min_score=%.3f candidates=%s groups=%s",
+                kf.id, min_score, candidates,
+                [(len(g), c) for g, c in self.consistent_groups])
         if not candidates:
             self.db.add(kf)
             self.consistent_groups.clear()

@@ -268,7 +268,12 @@ def prewarm(slam, h: int, w: int) -> dict:
                 eye, zero3, jK, tr.j_bounds,
                 jnp.zeros((Mb, 3), jnp.float32), jnp.zeros((Mb, 3), jnp.float32),
                 jnp.zeros((Mb,), jnp.float32), jnp.zeros((Mb,), jnp.float32),
-                jnp.zeros((Mb,), bool), log_scale, nlv)
+                jnp.zeros((Mb,), bool),
+                # the tracker fallback passes PYTHON floats (weak_type=True,
+                # tracking.py frustum call) — a strong-typed jnp.float32 here
+                # compiles a DIFFERENT program and the live call still
+                # recompiles (smoke2: 3 post-warmup frustum compiles)
+                float(np.log(cfg.orb.scale_factor)), nlv)
             mb_bits = matcher.unpack_u8(jnp.zeros((Mb, 32), jnp.uint8))
             for th in (1.0, 5.0):
                 r = matcher.search_by_projection_points(

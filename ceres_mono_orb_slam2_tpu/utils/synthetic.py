@@ -457,17 +457,35 @@ def tunnel_canary():
     one minute into the run, before the render/prewarm investment — where a
     log-watchdog (tools/watchdog_run.sh) can kill and retry cheaply. A
     process whose canary completes has not been observed to hang later.
-    Staircase of sizes, with progress prints for the watchdog's mtime."""
+    Staircase of sizes, with progress prints for the watchdog's mtime.
+
+    If a fetch does not complete within `abort_s`, the process hard-exits
+    with code 42: the hang is unrecoverable in-process (retry needs a fresh
+    process), and exiting immediately lets watchdog_run.sh restart in ~1
+    minute instead of waiting out its multi-minute log-stall window."""
+    import os as _os
+    import threading as _th
     import time as _time
 
     import jax.numpy as _jnp
 
+    abort_s = 60.0
+    done = _th.Event()
+
+    def _abort():
+        if not done.wait(abort_s):
+            print(f"canary: fetch hung >{abort_s:.0f}s, exiting 42 for "
+                  "watchdog restart", flush=True)
+            _os._exit(42)
+
+    _th.Thread(target=_abort, daemon=True).start()
     for kb in (4, 64, 256, 1024):
         t0 = _time.perf_counter()
         x = _jnp.arange(kb * 256, dtype=_jnp.float32)  # kb KiB
         np.asarray(x + 1.0)
         print(f"canary {kb}KiB ok ({_time.perf_counter() - t0:.2f}s)",
               flush=True)
+    done.set()
 
 
 def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: float,
@@ -537,15 +555,44 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
         stamps.append(k / fps)
     Rcw = np.stack(Rs)
     tcw = np.stack(ts)
-    images = render_frames_device(planes, K, Rcw, tcw, h, w, dist=dist)
-    if noise > 0:
-        images = images + rng.standard_normal(images.shape).astype(np.float32) * noise
-    images = np.clip(images, 0, 255).astype(np.float32)
-    if cache is not None:
-        # quantize the RETURNED frames too so a fresh render and a cache hit
-        # are bit-identical end to end
-        u8 = np.round(images).astype(np.uint8)
+    # noise must be generated over the FULL sequence in one pass for
+    # block-resume determinism: draw it per-block from a per-block seeded rng
+    if cache is not None and n_frames > 200:
+        # BLOCK-cached render: long renders (the 2000-frame KITTI-scale
+        # endurance sequence is ~60 min of device time) survive process
+        # restarts — the tunnel-hang watchdog (KNOWN_ISSUES round 5) may
+        # kill and retry the whole run, and without block resume every retry
+        # re-rendered from frame 0
+        blocks = []
+        B = 200
+        for bi, lo in enumerate(range(0, n_frames, B)):
+            hi_f = min(lo + B, n_frames)
+            bpath = cache + f".block{bi}.npz"
+            if os.path.exists(bpath):
+                blocks.append(np.load(bpath)["images"])
+                continue
+            imgs = render_frames_device(planes, K, Rcw[lo:hi_f], tcw[lo:hi_f],
+                                        h, w, dist=dist)
+            if noise > 0:
+                brng = np.random.default_rng((seed, 7919, bi))
+                imgs = imgs + brng.standard_normal(imgs.shape).astype(np.float32) * noise
+            u8b = np.round(np.clip(imgs, 0, 255)).astype(np.uint8)
+            np.savez(bpath + ".tmp.npz", images=u8b)
+            os.replace(bpath + ".tmp.npz", bpath)
+            print(f"render block {bi} [{lo}:{hi_f}] cached", flush=True)
+            blocks.append(u8b)
+        u8 = np.concatenate(blocks)
         images = u8.astype(np.float32)
+    else:
+        images = render_frames_device(planes, K, Rcw, tcw, h, w, dist=dist)
+        if noise > 0:
+            images = images + rng.standard_normal(images.shape).astype(np.float32) * noise
+        images = np.clip(images, 0, 255).astype(np.float32)
+        if cache is not None:
+            # quantize the RETURNED frames too so a fresh render and a cache
+            # hit are bit-identical end to end
+            u8 = np.round(images).astype(np.uint8)
+            images = u8.astype(np.float32)
     seq = SyntheticSequence(images=images, poses_Rcw=Rcw, poses_tcw=tcw,
                             timestamps=np.array(stamps, np.float64), K=K)
     if cache is not None:

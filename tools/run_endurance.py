@@ -161,6 +161,17 @@ def main():
     from ceres_mono_orb_slam2_tpu.utils.synthetic import tunnel_canary
 
     tunnel_canary()
+    import os
+
+    if os.environ.get("CERES_DEBUG_LOOP"):
+        # gate-level diagnostics for loop detection (smoke triage)
+        hdl = logging.StreamHandler(sys.stdout)
+        hdl.setFormatter(logging.Formatter("%(name)s %(message)s"))
+        for nm in ("ceres_mono_orb_slam2_tpu.models.loopclosing",
+                   "ceres_mono_orb_slam2_tpu.models.keyframe_database"):
+            lg = logging.getLogger(nm)
+            lg.addHandler(hdl)
+            lg.setLevel(logging.DEBUG)
     jax.config.update("jax_log_compiles", True)
     counter = CompileCounter()
     for name in ("jax._src.dispatch", "jax._src.interpreters.pxla", "jax"):

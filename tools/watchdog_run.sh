@@ -6,7 +6,7 @@
 # Kills the run if the log stops growing for <stall_secs>, retries.
 LOG=$1; STALL=$2; TRIES=$3; shift 3
 for try in $(seq 1 "$TRIES"); do
-  : > "$LOG"
+  echo "[watchdog] ===== try $try =====" >> "$LOG"
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   while kill -0 $PID 2>/dev/null; do
