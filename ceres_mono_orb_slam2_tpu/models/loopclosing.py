@@ -55,6 +55,8 @@ class LoopClosing:
         self.consistent_groups: List[tuple] = []  # (set_of_kf_ids, consistency)
         self.n_loops_closed = 0
         self.n_gba_runs = 0  # completed (non-aborted) global BA solves
+        self.n_detects = 0  # _detect_loop calls past the 10-KF guard
+        self.n_candidate_events = 0  # detections with >=1 gate-passing cand
         self._key = jax.random.PRNGKey(42)
         self.jK = jnp.asarray(config.camera.K)
         self.inv_sigma2 = config.orb.inv_level_sigma2
@@ -130,6 +132,9 @@ class LoopClosing:
             if okf is not None and not okf.bad:
                 min_score = min(min_score, bow.l1_score(v, self.db.kf_bow(okf)))
         candidates = self.db.detect_loop_candidates(kf, min_score)
+        self.n_detects += 1
+        if candidates:
+            self.n_candidate_events += 1
         if log.isEnabledFor(logging.DEBUG):
             log.debug(
                 "detect_loop kf=%d min_score=%.3f candidates=%s groups=%s",

@@ -469,10 +469,18 @@ def tunnel_canary():
 
     import jax.numpy as _jnp
 
-    abort_s = 60.0
+    # CERES_CANARY_ABORT_S=0 disables the abort: when the device grant
+    # queue is draining dead claim-waiters (each kill ADDS one), fast
+    # kill/retry loops make the clog worse — a patient single client that
+    # waits out the queue is then the right strategy.
+    abort_s = float(_os.environ.get("CERES_CANARY_ABORT_S", "60") or 0)
     done = _th.Event()
+    if abort_s <= 0:
+        print("canary: abort disabled, waiting patiently", flush=True)
 
     def _abort():
+        if abort_s <= 0:
+            return
         if not done.wait(abort_s):
             print(f"canary: fetch hung >{abort_s:.0f}s, exiting 42 for "
                   "watchdog restart", flush=True)
