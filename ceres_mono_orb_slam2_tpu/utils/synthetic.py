@@ -315,9 +315,12 @@ def make_sequence(
             # every lap) from a slightly higher band, so live keyframes
             # ACCUMULATE across revolutions under the reference's 90 %
             # redundancy culling rule instead of saturating at one band's
-            # worth — the KITTI-style sustained-map-growth trajectory
+            # worth — the KITTI-style sustained-map-growth trajectory.
+            # ABSOLUTE rise rate (not normalized by n_frames) so any prefix
+            # of a longer render is the same trajectory: render blocks are
+            # shared between runs of different lengths
             a = step * k
-            y = -1.3 + 2.6 * k / max(n_frames - 1, 1)
+            y = -1.3 + 0.0013 * k
             c = np.array([3.0 * np.sin(a), y + 0.02 * np.sin(3 * a),
                           3.0 * np.cos(a)], np.float64)
             w_rot = np.array([0.0, a, 0.0], np.float64)
@@ -546,9 +549,10 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
             c = np.array([3.0 * np.sin(a), 0.02 * np.sin(3 * a), 3.0 * np.cos(a)], np.float64)
             w_rot = np.array([0.0, a, 0.0], np.float64)
         elif motion == "spiral":
-            # see make_sequence: per-lap vertical rise for live-KF growth
+            # see make_sequence: per-lap vertical rise for live-KF growth;
+            # absolute rate — prefixes of longer renders are identical
             a = step * k
-            y = -1.3 + 2.6 * k / max(n_frames - 1, 1)
+            y = -1.3 + 0.0013 * k
             c = np.array([3.0 * np.sin(a), y + 0.02 * np.sin(3 * a),
                           3.0 * np.cos(a)], np.float64)
             w_rot = np.array([0.0, a, 0.0], np.float64)
@@ -573,21 +577,35 @@ def make_rendered_sequence_device(n_frames: int, h: int, w: int, fx: float, fy: 
         # re-rendered from frame 0
         blocks = []
         B = 200
+        # block key EXCLUDES n_frames: trajectories are prefix-stable (see
+        # the spiral's absolute rise rate), so a 1000-frame run reuses the
+        # blocks of a 2000-frame render and vice versa
+        import hashlib as _hl
+
+        bkey = repr((h, w, fx, fy, motion, step, seed, noise, fps,
+                     None if dist is None else np.asarray(dist).tolist(), B))
+        bh = _hl.sha1(bkey.encode()).hexdigest()[:16]
         for bi, lo in enumerate(range(0, n_frames, B)):
             hi_f = min(lo + B, n_frames)
-            bpath = cache + f".block{bi}.npz"
+            need = hi_f - lo
+            bpath = os.path.join(cache_dir, f"blk_{bh}_b{bi}.npz")
             if os.path.exists(bpath):
-                blocks.append(np.load(bpath)["images"])
+                # full cached block; shorter runs slice its prefix
+                blocks.append(np.load(bpath)["images"][:need])
                 continue
             imgs = render_frames_device(planes, K, Rcw[lo:hi_f], tcw[lo:hi_f],
                                         h, w, dist=dist)
             if noise > 0:
+                # draw at FULL block size and slice: a partial block's noise
+                # must equal the prefix of the full block's
                 brng = np.random.default_rng((seed, 7919, bi))
-                imgs = imgs + brng.standard_normal(imgs.shape).astype(np.float32) * noise
+                nz = brng.standard_normal((B,) + imgs.shape[1:]).astype(np.float32)
+                imgs = imgs + nz[:need] * noise
             u8b = np.round(np.clip(imgs, 0, 255)).astype(np.uint8)
-            np.savez(bpath + ".tmp.npz", images=u8b)
-            os.replace(bpath + ".tmp.npz", bpath)
-            print(f"render block {bi} [{lo}:{hi_f}] cached", flush=True)
+            if need == B:  # only cache full blocks (key excludes n_frames)
+                np.savez(bpath + ".tmp.npz", images=u8b)
+                os.replace(bpath + ".tmp.npz", bpath)
+                print(f"render block {bi} [{lo}:{hi_f}] cached", flush=True)
             blocks.append(u8b)
         u8 = np.concatenate(blocks)
         images = u8.astype(np.float32)
