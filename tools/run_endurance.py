@@ -333,6 +333,11 @@ def main():
         "frames": seq.n_frames,
         "resolution": f"{args.w}x{args.h}",
         "features": args.features,
+        "motion": args.motion,
+        "threaded": bool(args.threaded),
+        "pace_fps": args.pace_fps,
+        "local_kfs_cap": args.local_kfs,
+        "vocab_words": int(voc.n_words),
         "median_fps": round(1.0 / float(np.median(steady)), 2),
         "mean_fps": round(1.0 / float(steady.mean()), 2),
         "first_tracked": first,
